@@ -1,0 +1,226 @@
+"""DepthAnything3 — the public model API.
+
+Drop-in analogue of the reference's external model interface
+(``DepthAnything3.from_pretrained(path)`` → ``.inference(image=[...])``,
+solver.py:58-176, SURVEY.md §2.5) with a pure, jittable forward step
+underneath (``forward_fn``) that the SLAM scan pipeline and benchmarks call
+directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from da3slam_tpu.models import vit, dpt, camera
+from da3slam_tpu.models.config import ModelConfig, get_preset
+from da3slam_tpu.ops.resize import (
+    denormalize_to_uint8,
+    resize_normalize,
+    upper_bound_shape,
+)
+
+
+@dataclasses.dataclass
+class Prediction:
+    """The §2.5 tensor contract (reference solver.py:168-176)."""
+
+    processed_images: np.ndarray  # [N, H, W, 3] uint8
+    depth: np.ndarray  # [N, H, W] float32 (metric-ambiguous, chunk scale)
+    conf: np.ndarray  # [N, H, W] float32, ~>= 1.0
+    extrinsics: np.ndarray  # [N, 3, 4] float32 w2c OpenCV, chunk-local
+    intrinsics: np.ndarray  # [N, 3, 3] float32 zero-skew pinhole
+
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> Any:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "encoder": vit.init_encoder(k1, cfg),
+        "dpt": dpt.init_dpt(k2, cfg),
+        "camera": camera.init_camera_head(k3, cfg),
+    }
+
+
+def forward_fn(
+    params: Any,
+    images: jax.Array,
+    cfg: ModelConfig,
+    ref_idx: int = 0,
+    attn_impl: str = "auto",
+    dtype=jnp.float32,
+) -> dict[str, jax.Array]:
+    """Pure forward: normalised images ``[N, H, W, 3]`` → prediction dict.
+
+    Jittable with static (cfg, ref_idx, attn_impl, dtype).
+    """
+    N, H, W, _ = images.shape
+    taps, final, grid = vit.encode(params["encoder"], images, cfg, attn_impl, dtype)
+    depth, conf = dpt.apply_dpt(params["dpt"], taps, grid, (H, W), cfg)
+    extrinsics, intrinsics = camera.apply_camera_head(
+        params["camera"], final[:, 0, :], (H, W), ref_idx
+    )
+    return {
+        "depth": depth,
+        "conf": conf,
+        "extrinsics": extrinsics,
+        "intrinsics": intrinsics,
+    }
+
+
+class DepthAnything3:
+    """Stateful wrapper holding (config, params) with the reference-shaped API."""
+
+    def __init__(self, cfg: ModelConfig, params: Any, attn_impl: str = "auto",
+                 dtype=None):
+        self.cfg = cfg
+        self.params = params
+        self.attn_impl = attn_impl
+        if dtype is None:
+            dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        self.dtype = dtype
+        self._jitted: dict[Any, Any] = {}
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, path_or_preset: str, seed: int = 0) -> "DepthAnything3":
+        """Load a native checkpoint directory (config.json + model.safetensors)
+        or build a randomly initialised model from a preset/tier name.
+
+        Mirrors reference ``DepthAnything3.from_pretrained`` (solver.py:58);
+        checkpoint-directory names like ``.../DA3-SMALL`` resolve to presets
+        when the directory does not exist locally.
+        """
+        p = Path(path_or_preset)
+        if (p / "model.safetensors").exists():
+            from da3slam_tpu.models.weights import load_checkpoint
+
+            params, cfg = load_checkpoint(p)
+            return cls(cfg, params)
+        cfg = get_preset(path_or_preset)
+        params = init_params(jax.random.PRNGKey(seed), cfg)
+        return cls(cfg, params)
+
+    # torch-API shims so reference-style call sites keep working
+    def to(self, device=None):  # noqa: D401
+        return self
+
+    def eval(self):
+        return self
+
+    # -- forward -----------------------------------------------------------
+    def _forward_jit(self, ref_idx: int):
+        key = (ref_idx, self.attn_impl, self.dtype)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                functools.partial(
+                    forward_fn,
+                    cfg=self.cfg,
+                    ref_idx=ref_idx,
+                    attn_impl=self.attn_impl,
+                    dtype=self.dtype,
+                )
+            )
+        return self._jitted[key]
+
+    def inference(
+        self,
+        image: Sequence[str] | Sequence[np.ndarray] | np.ndarray,
+        process_res: int = 504,
+        process_res_method: str = "upper_bound_resize",
+        ref_view_strategy: str = "first",
+        use_ray_pose: bool = False,
+        extrinsics: np.ndarray | None = None,
+        align_to_input_ext_scale: bool = False,
+        export_dir: str | None = None,
+        export_format: str = "mini_npz",
+    ) -> Prediction:
+        """Reference-contract inference over one chunk of views.
+
+        Keyword surface mirrors the observed reference call sites
+        (SURVEY.md §2.5).  ``use_ray_pose`` currently routes to the camera
+        head (the dedicated ray head is future work).
+        """
+        if process_res_method != "upper_bound_resize":
+            raise ValueError(f"unsupported process_res_method {process_res_method!r}")
+        raw = _load_images(image)
+        h, w = raw.shape[1], raw.shape[2]
+        th, tw = upper_bound_shape(h, w, process_res, self.cfg.patch_size)
+        norm = resize_normalize(jnp.asarray(raw), (th, tw))
+
+        ref_idx = camera.ref_view_index(raw.shape[0], ref_view_strategy)
+        out = self._forward_jit(ref_idx)(self.params, norm)
+
+        ext = out["extrinsics"]
+        depth = out["depth"]
+        if extrinsics is not None:
+            ext_in = jnp.asarray(extrinsics, jnp.float32)
+            if align_to_input_ext_scale:
+                s = _pose_scale_ratio(ext_in, ext)
+                depth = depth * s
+                ext = jnp.concatenate([ext[..., :3], ext[..., 3:] * s], axis=-1)
+            ext = ext_in
+
+        pred = Prediction(
+            processed_images=np.asarray(denormalize_to_uint8(norm)),
+            depth=np.asarray(depth, np.float32),
+            conf=np.asarray(out["conf"], np.float32),
+            extrinsics=np.asarray(ext, np.float32),
+            intrinsics=np.asarray(out["intrinsics"], np.float32),
+        )
+        if export_dir is not None:
+            _export(pred, export_dir, export_format)
+        return pred
+
+
+def _pose_scale_ratio(ext_target: jax.Array, ext_pred: jax.Array) -> jax.Array:
+    """Median ratio of camera-translation norms (the
+    ``align_to_input_ext_scale`` rescaling, utils/da3_camara.py:52-68)."""
+    tn_t = jnp.linalg.norm(ext_target[:, :, 3], axis=-1)
+    tn_p = jnp.linalg.norm(ext_pred[:, :, 3], axis=-1)
+    valid = (tn_t > 1e-8) & (tn_p > 1e-8)
+    ratio = jnp.where(valid, tn_t / jnp.maximum(tn_p, 1e-8), jnp.nan)
+    med = jnp.nanmedian(ratio)
+    return jnp.where(jnp.isfinite(med) & (med > 0), med, 1.0)
+
+
+def _load_images(image) -> np.ndarray:
+    """Paths / arrays / stacked array → ``[N, H, W, 3]`` uint8."""
+    if isinstance(image, np.ndarray):
+        arr = image
+        if arr.ndim == 3:
+            arr = arr[None]
+        return arr.astype(np.uint8) if arr.dtype != np.uint8 else arr
+    frames = []
+    for item in image:
+        if isinstance(item, (str, Path)):
+            from PIL import Image
+
+            frames.append(np.asarray(Image.open(item).convert("RGB")))
+        else:
+            frames.append(np.asarray(item))
+    return np.stack(frames).astype(np.uint8)
+
+
+def _export(pred: Prediction, export_dir: str, export_format: str) -> None:
+    out = Path(export_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if export_format == "mini_npz":
+        np.savez_compressed(
+            out / "prediction.npz",
+            depth=pred.depth,
+            conf=pred.conf,
+            extrinsics=pred.extrinsics,
+            intrinsics=pred.intrinsics,
+        )
+    elif export_format == "glb":
+        from da3slam_tpu.inout.export3d import export_glb
+
+        export_glb(pred, out / "scene.glb")
+    else:
+        raise ValueError(f"unknown export_format {export_format!r}")

@@ -1,0 +1,191 @@
+"""Multi-view ViT encoder (DINOv2-style) with alternating intra-/cross-view
+attention — the DA3 backbone.
+
+Functional style: parameters are plain pytrees (nested dicts / lists of
+per-block dicts), ``apply`` functions are pure and jit-safe.  This keeps the
+PyTorch→JAX weight mapping transparent (models/weights.py) and composes
+directly with ``pjit`` sharding annotations (parallel/).
+
+Token layout per view: ``[camera_token, register_tokens..., patch_tokens...]``.
+Intra-view blocks attend over one view's tokens (batch = views); cross-view
+blocks attend over the concatenation of all views' tokens — this is the
+mechanism that makes depth/pose mutually consistent across a chunk (the
+quadratic term bounded by the SLAM chunk size, SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from da3slam_tpu.models.config import ModelConfig
+from da3slam_tpu.ops.attention import multi_head_attention
+
+Params = Any  # nested dict pytree
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    return jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype) * std
+
+
+def init_encoder(key: jax.Array, cfg: ModelConfig, base_grid: int = 37) -> Params:
+    """Initialise encoder params.  ``base_grid`` is the patch grid the learned
+    pos-embed is stored at (37x37 = 518/14, the reference's default
+    process_res, SURVEY.md §6)."""
+    D = cfg.embed_dim
+    hidden = int(D * cfg.mlp_ratio)
+    keys = iter(jax.random.split(key, 6 + cfg.depth))
+
+    params: dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _trunc_normal(next(keys), (cfg.patch_size, cfg.patch_size, 3, D)),
+            "bias": jnp.zeros((D,)),
+        },
+        "pos_embed": _trunc_normal(next(keys), (base_grid, base_grid, D)),
+        "camera_token": _trunc_normal(next(keys), (1, 1, D)),
+        "register_tokens": _trunc_normal(next(keys), (1, cfg.num_register_tokens, D)),
+        "norm": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+    }
+
+    blocks = []
+    for _ in range(cfg.depth):
+        bk = iter(jax.random.split(next(keys), 4))
+        blocks.append({
+            "ln1": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+            "attn": {
+                "qkv_w": _trunc_normal(next(bk), (D, 3 * D)),
+                "qkv_b": jnp.zeros((3 * D,)),
+                "proj_w": _trunc_normal(next(bk), (D, D)),
+                "proj_b": jnp.zeros((D,)),
+            },
+            "ls1": jnp.full((D,), cfg.layerscale_init),
+            "ln2": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+            "mlp": {
+                "w1": _trunc_normal(next(bk), (D, hidden)),
+                "b1": jnp.zeros((hidden,)),
+                "w2": _trunc_normal(next(bk), (hidden, D)),
+                "b2": jnp.zeros((D,)),
+            },
+            "ls2": jnp.full((D,), cfg.layerscale_init),
+        })
+    params["blocks"] = blocks
+    return params
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def layer_norm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    # LN in f32 for stability regardless of activation dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (out * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _attention(p: Params, x: jax.Array, num_heads: int, impl: str) -> jax.Array:
+    """x: [B, S, D] → [B, S, D]."""
+    B, S, D = x.shape
+    qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    hd = D // num_heads
+    q = q.reshape(B, S, num_heads, hd)
+    k = k.reshape(B, S, num_heads, hd)
+    v = v.reshape(B, S, num_heads, hd)
+    out = multi_head_attention(q, k, v, impl=impl)
+    out = out.reshape(B, S, D)
+    return out @ p["proj_w"].astype(x.dtype) + p["proj_b"].astype(x.dtype)
+
+
+def _mlp(p: Params, x: jax.Array) -> jax.Array:
+    h = x @ p["w1"].astype(x.dtype) + p["b1"].astype(x.dtype)
+    h = jax.nn.gelu(h)
+    return h @ p["w2"].astype(x.dtype) + p["b2"].astype(x.dtype)
+
+
+def _block(p: Params, x: jax.Array, num_heads: int, cross_view: bool, impl: str) -> jax.Array:
+    """x: [N, S, D] (N views).  Cross-view blocks fold views into one sequence."""
+    N, S, D = x.shape
+    if cross_view:
+        h = x.reshape(1, N * S, D)
+    else:
+        h = x
+    a = _attention(p["attn"], layer_norm(p["ln1"], h), num_heads, impl)
+    h = h + a * p["ls1"].astype(x.dtype)
+    m = _mlp(p["mlp"], layer_norm(p["ln2"], h))
+    h = h + m * p["ls2"].astype(x.dtype)
+    return h.reshape(N, S, D)
+
+
+def interpolate_pos_embed(pos: jax.Array, hp: int, wp: int) -> jax.Array:
+    """Bilinearly resample the learned ``[G, G, D]`` pos-embed grid to the
+    actual patch grid (DINOv2-style resolution adaptation)."""
+    if pos.shape[0] == hp and pos.shape[1] == wp:
+        return pos.reshape(1, hp * wp, -1)
+    out = jax.image.resize(pos, (hp, wp, pos.shape[-1]), method="bilinear")
+    return out.reshape(1, hp * wp, -1)
+
+
+def encode(
+    params: Params,
+    images: jax.Array,
+    cfg: ModelConfig,
+    attn_impl: str = "auto",
+    dtype=jnp.float32,
+) -> tuple[list[jax.Array], jax.Array, tuple[int, int]]:
+    """Run the encoder over a chunk of views.
+
+    Args:
+      images: ``[N, H, W, 3]`` float, ImageNet-normalised, H/W multiples of
+              ``patch_size``.
+
+    Returns:
+      taps:   list of ``[N, S, D]`` activations at ``cfg.dpt_layers`` (post-block)
+      final:  ``[N, S, D]`` final-norm output
+      grid:   (Hp, Wp) patch grid
+    """
+    N, H, W, _ = images.shape
+    P = cfg.patch_size
+    hp, wp = H // P, W // P
+
+    x = jax.lax.conv_general_dilated(
+        images.astype(dtype),
+        params["patch_embed"]["kernel"].astype(dtype),
+        window_strides=(P, P),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["patch_embed"]["bias"].astype(dtype)
+    x = x.reshape(N, hp * wp, cfg.embed_dim)
+    x = x + interpolate_pos_embed(params["pos_embed"], hp, wp).astype(dtype)
+
+    cam = jnp.broadcast_to(
+        params["camera_token"].astype(dtype), (N, 1, cfg.embed_dim)
+    )
+    reg = jnp.broadcast_to(
+        params["register_tokens"].astype(dtype),
+        (N, cfg.num_register_tokens, cfg.embed_dim),
+    )
+    x = jnp.concatenate([cam, reg, x], axis=1)  # [N, S, D]
+
+    taps: list[jax.Array] = []
+    tap_set = set(cfg.dpt_layers)
+    for i, bp in enumerate(params["blocks"]):
+        cross = (i % cfg.cross_view_interval) == (cfg.cross_view_interval - 1)
+        x = _block(bp, x, cfg.num_heads, cross, attn_impl)
+        if i in tap_set:
+            taps.append(x)
+
+    final = layer_norm(params["norm"], x)
+    return taps, final, (hp, wp)
+
+
+def num_prefix_tokens(cfg: ModelConfig) -> int:
+    return 1 + cfg.num_register_tokens
