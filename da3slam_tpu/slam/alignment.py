@@ -1,0 +1,164 @@
+"""Chunk-to-chunk alignment + global pose chaining (jittable core).
+
+The device-side equivalent of the reference's alignment path
+(solver.py:116-153 → utils/align_geometry_single.py:192-255):
+
+  1. depth-scale: confidence-gated median ratio on the overlap frame pair
+  2. registration: projective ICP between the overlap frames' camera-coord
+     clouds (replaces Open3D, SURVEY.md §2.4)
+  3. anchoring: cur chunk's frame-0 global pose from the prev overlap pose
+  4. chaining: per-frame relative w2c composition, as an associative scan
+     instead of the reference's sequential Python loop
+     (align_geometry_single.py:241-249)
+
+Everything here runs under ``jit``; per-chunk Python stays on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from da3slam_tpu.core.geometry import backproject_depth, depth_scale_ratio
+from da3slam_tpu.core.transforms import (
+    Sim3,
+    se3_compose,
+    se3_inverse,
+    sim3_inverse,
+)
+from da3slam_tpu.ops.icp import ICPResult, icp_point_to_point
+from da3slam_tpu.ops.registration import irls_sim3
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignmentConfig:
+    """Knobs mirroring configs/config1.yaml + the solver defaults."""
+
+    conf_threshold: float = 0.2  # depth-scale confidence gate (solver.py:125)
+    icp_threshold: float = 0.1  # correspondence gate (align_geometry_single.py:195)
+    icp_max_iterations: int = 50  # (align_geometry_single.py:196)
+    method: str = "icp"  # "icp" | "irls" | "umeyama"
+    irls_delta: float = 0.1  # configs/config1.yaml IRLS block
+    irls_max_iters: int = 5
+    with_scale: bool = False  # SE(3)+depth-prescale (solver path) vs full Sim(3)
+
+
+class ChunkAlignment(NamedTuple):
+    extrinsics_global: jax.Array  # [N, 3, 4] w2c of the current chunk
+    depth_scaled: jax.Array  # [N, H, W] current chunk depth after prescale
+    prev_overlap_for_next: jax.Array  # [3, 4] last frame's global w2c
+    transform: Sim3  # overlap registration (cur → prev camera frame)
+    depth_scale: jax.Array  # scalar s multiplied into cur depth
+    fitness: jax.Array
+    inlier_rmse: jax.Array
+
+
+def chain_extrinsics(E_local: jax.Array, E0_global: jax.Array) -> jax.Array:
+    """Chain chunk-local w2c extrinsics onto a global anchor.
+
+    ``E_i_global = (E_i_local ∘ E_{i-1}_local^{-1}) ∘ E_{i-1}_global`` with
+    ``E_0_global`` given — the reference's sequential loop
+    (align_geometry_single.py:241-249) as an associative prefix scan.
+
+    Args:
+      E_local:   ``[N, 3, 4]`` chunk-local w2c
+      E0_global: ``[3, 4]`` global w2c of frame 0
+    """
+    # relative transforms c_{i-1} -> c_i, i = 1..N-1
+    rel = se3_compose(E_local[1:], se3_inverse(E_local[:-1]))  # [N-1, 3, 4]
+    # prefix products P_i = rel_i ∘ rel_{i-1} ∘ ... ∘ rel_1
+    prefix = jax.lax.associative_scan(lambda a, b: se3_compose(b, a), rel)
+    chained = se3_compose(prefix, E0_global[None])  # [N-1, 3, 4]
+    return jnp.concatenate([E0_global[None], chained], axis=0)
+
+
+def align_chunk_single_overlap(
+    prev_depth: jax.Array,  # [H, W] prev chunk's LAST frame
+    prev_conf: jax.Array,
+    prev_K: jax.Array,  # [3, 3]
+    cur_depth: jax.Array,  # [N, H, W] full current chunk
+    cur_conf: jax.Array,  # [N, H, W]
+    cur_K: jax.Array,  # [N, 3, 3]
+    cur_extrinsics: jax.Array,  # [N, 3, 4] chunk-local w2c
+    prev_overlap_global: jax.Array,  # [3, 4] prev last frame's global w2c
+    config: AlignmentConfig = AlignmentConfig(),
+) -> ChunkAlignment:
+    """Single-frame-overlap chunk alignment (jittable with static config)."""
+    # 1) depth scale: prev(last) vs cur(first), conf-gated median ratio
+    s_depth = depth_scale_ratio(
+        prev_depth, cur_depth[0], prev_conf, cur_conf[0], conf_th=config.conf_threshold
+    )
+    depth_scaled = cur_depth * s_depth
+    # the chunk's metric rescale applies to its whole local world: extrinsic
+    # translations must follow the depth (the reference prescales only depth,
+    # solver.py:126, leaving pose-chain translations at the old scale — the
+    # scale-drift quirk SURVEY.md §7.3.4 flags for unification)
+    cur_extrinsics = jnp.concatenate(
+        [cur_extrinsics[..., :3], cur_extrinsics[..., 3:] * s_depth], axis=-1
+    )
+
+    # 2) overlap registration in camera coords (viewpoints nearly coincide)
+    tgt_map = backproject_depth(prev_depth, prev_K)  # prev last frame
+    src_map = backproject_depth(depth_scaled[0], cur_K[0])  # cur first frame
+    src_pts = src_map.reshape(-1, 3)
+    src_valid = depth_scaled[0].reshape(-1) > 1e-6
+    tgt_valid = prev_depth > 1e-6
+
+    if config.method == "icp":
+        icp: ICPResult = icp_point_to_point(
+            src_pts,
+            tgt_map,
+            prev_K,
+            src_valid=src_valid,
+            tgt_valid=tgt_valid,
+            threshold=config.icp_threshold,
+            max_iterations=config.icp_max_iterations,
+            with_scale=config.with_scale,
+        )
+        T, fitness, rmse = icp.transform, icp.fitness, icp.inlier_rmse
+    elif config.method == "irls":
+        # pixelwise correspondence (same grid), confidence-weighted IRLS
+        w = jnp.sqrt(prev_conf.reshape(-1) * cur_conf[0].reshape(-1))
+        w = w * src_valid * tgt_valid.reshape(-1)
+        res = irls_sim3(
+            src_pts,
+            tgt_map.reshape(-1, 3),
+            conf=w,
+            delta=config.irls_delta,
+            max_iters=config.irls_max_iters,
+            with_scale=config.with_scale,
+        )
+        T, fitness, rmse = res.transform, jnp.asarray(1.0), res.rmse
+    elif config.method == "umeyama":
+        from da3slam_tpu.ops.registration import weighted_umeyama
+
+        w = (src_valid & tgt_valid.reshape(-1)).astype(jnp.float32)
+        T = weighted_umeyama(src_pts, tgt_map.reshape(-1, 3), w, config.with_scale)
+        fitness, rmse = jnp.asarray(1.0), jnp.asarray(0.0)
+    else:
+        raise ValueError(f"unknown alignment method {config.method!r}")
+
+    # 3) anchor: E0_global = T^{-1} ∘ E_prev_global  (w2c composition;
+    #    T maps cur-overlap camera coords into prev-overlap camera coords,
+    #    reference align_geometry_single.py:224-231).  The inverse is taken
+    #    in Sim(3) so the with_scale=True path stays exact (for the SE(3)
+    #    solver path s=1 and this reduces to the rigid inverse).
+    Tinv = sim3_inverse(T)
+    Tinv_mat = jnp.concatenate([Tinv.s * Tinv.R, Tinv.t[:, None]], axis=-1)
+    E0_global = se3_compose(Tinv_mat, prev_overlap_global)
+
+    # 4) chain the rest of the chunk
+    extrinsics_global = chain_extrinsics(cur_extrinsics, E0_global)
+
+    return ChunkAlignment(
+        extrinsics_global=extrinsics_global,
+        depth_scaled=depth_scaled,
+        prev_overlap_for_next=extrinsics_global[-1],
+        transform=T,
+        depth_scale=s_depth,
+        fitness=fitness,
+        inlier_rmse=rmse,
+    )

@@ -1,0 +1,215 @@
+"""SLAMSolver — the in-memory streaming SLAM orchestrator.
+
+Mirrors the reference ``SLAMSolver`` (solver.py:21-247): a frame-path deque
+feeds fixed-size chunks into the model; each chunk is aligned to the global
+frame through the single-overlap path (scale + ICP + pose chaining); the
+viewer receives every aligned frame.  Differences by design:
+
+- per-chunk alignment math runs as one jitted device program
+  (slam/alignment.py) instead of Open3D + NumPy loops
+- predictions are kept only as long as needed (the reference accumulates
+  every chunk in memory, solver.py:35,204 — unbounded)
+- no ``sleep_between_chunk`` pause unless configured (the reference sleeps
+  10 s per chunk for observation, solver.py:226)
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from collections import deque
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from da3slam_tpu.inout.images import extract_keyframes, load_image_paths
+from da3slam_tpu.slam.alignment import AlignmentConfig, align_chunk_single_overlap
+
+
+class SLAMSolver:
+    def __init__(self, image_dir: str, config: dict, model: Any = None, viewer: Any = "auto"):
+        self.config = config
+        model_cfg = config.get("Model", {})
+        self.chunk_size = model_cfg.get("chunk_size", 15)
+        self.overlap_size = model_cfg.get("overlap_size", 1)
+        self.keyframe_interval = model_cfg.get("keyframe_interval", 1)
+        self.sleep_between_chunk = model_cfg.get("sleep_between_chunk", 0)
+        self.image_dir = image_dir
+
+        self.chunk_count = 0
+        self.frame_buffer: deque = deque(maxlen=self.chunk_size * 2)
+        self.results: List[Dict] = []  # per-chunk outputs incl. extrinsics_global
+        self.prev_chunk_prediction: Optional[Dict] = None
+        self.prev_overlap_aligned_3x4: Optional[np.ndarray] = None
+
+        align_cfg = config.get("Align", {}) or {}
+        self.align_config = AlignmentConfig(
+            method=align_cfg.get("method", "icp"),
+            conf_threshold=align_cfg.get("conf_threshold", 0.2),
+            icp_threshold=align_cfg.get("icp_threshold", 0.1),
+            icp_max_iterations=align_cfg.get("icp_max_iterations", 50),
+            with_scale=align_cfg.get("with_scale", False),
+        )
+        self._align_jit = jax.jit(
+            functools.partial(align_chunk_single_overlap, config=self.align_config)
+        )
+
+        self.model = model if model is not None else self._load_model()
+        self.viewer = self._init_viewer() if viewer == "auto" else viewer
+
+    # -- setup -------------------------------------------------------------
+    def _load_model(self):
+        from da3slam_tpu.models import DepthAnything3
+
+        model_path = self.config.get("Weights", {}).get("DA3", "small")
+        print(f"Loading DA3 model from {model_path}...")
+        return DepthAnything3.from_pretrained(model_path)
+
+    def _init_viewer(self):
+        port = self.config.get("Model", {}).get("port", 8080)
+        try:
+            from da3slam_tpu.viz.viewer import SLAMViewer
+
+            viewer = SLAMViewer(port=port)
+            print(f"Viewer initialized on port {port}")
+            return viewer
+        except ImportError as e:
+            # headless degradation, same as reference solver.py:73-78
+            print(f"Viewer unavailable ({e}); running headless")
+            return None
+
+    # -- chunk plumbing ----------------------------------------------------
+    def should_run_chunk_prediction(self) -> bool:
+        return len(self.frame_buffer) >= self.chunk_size
+
+    def load_chunk_image_paths(self) -> List[str]:
+        return list(self.frame_buffer)[: self.chunk_size]
+
+    def update_buffer_after_chunk_processed(self) -> None:
+        if len(self.frame_buffer) > self.overlap_size:
+            for _ in range(self.chunk_size - self.overlap_size):
+                if self.frame_buffer:
+                    self.frame_buffer.popleft()
+
+    def run_single_chunk_prediction(self, chunk_image_paths: List[str]) -> Dict:
+        pred = self.model.inference(
+            image=chunk_image_paths,
+            process_res_method="upper_bound_resize",
+        )
+        return {
+            "chunk_idx": self.chunk_count,
+            "image_paths": chunk_image_paths,
+            "processed_images": np.asarray(pred.processed_images),
+            "depth": np.asarray(pred.depth),
+            "conf": np.asarray(pred.conf),
+            "extrinsics": np.asarray(pred.extrinsics),
+            "intrinsics": np.asarray(pred.intrinsics),
+        }
+
+    # -- alignment ---------------------------------------------------------
+    def process_chunk_alignment(self, prev: Dict, cur: Dict):
+        """Scale + register + chain: one jitted device call."""
+        out = self._align_jit(
+            prev_depth=prev["depth"][-1],
+            prev_conf=prev["conf"][-1],
+            prev_K=prev["intrinsics"][-1],
+            cur_depth=cur["depth"],
+            cur_conf=cur["conf"],
+            cur_K=cur["intrinsics"],
+            cur_extrinsics=cur["extrinsics"],
+            prev_overlap_global=self.prev_overlap_aligned_3x4,
+        )
+        cur["depth"] = np.asarray(out.depth_scaled)
+        cur["extrinsics_global"] = np.asarray(out.extrinsics_global)
+        self.prev_overlap_aligned_3x4 = np.asarray(out.prev_overlap_for_next)
+        return (
+            float(out.depth_scale),
+            np.asarray(out.transform.R),
+            np.asarray(out.transform.t),
+            float(out.fitness),
+            float(out.inlier_rmse),
+        )
+
+    # -- viewer ------------------------------------------------------------
+    def update_viewer(self, chunk_prediction: Dict) -> None:
+        if self.viewer is None:
+            return
+        ext_global = chunk_prediction.get("extrinsics_global")
+        if ext_global is None:
+            print("warn: no extrinsics_global; falling back to local extrinsics")
+            ext_global = chunk_prediction["extrinsics"]
+        n = len(chunk_prediction["image_paths"])
+        for i in range(n):
+            self.viewer.add_frame(
+                image=chunk_prediction["processed_images"][i],
+                depth=chunk_prediction["depth"][i],
+                conf=chunk_prediction["conf"][i],
+                extrinsic=ext_global[i],
+                intrinsic=chunk_prediction["intrinsics"][i],
+            )
+
+    # -- main loop ---------------------------------------------------------
+    def process_frame(self, image_path: str) -> None:
+        self.frame_buffer.append(image_path)
+        if not self.should_run_chunk_prediction():
+            return
+
+        chunk_paths = self.load_chunk_image_paths()
+        cur = self.run_single_chunk_prediction(chunk_paths)
+
+        if self.chunk_count == 0:
+            # first chunk defines the global frame (solver.py:206-211)
+            cur["extrinsics_global"] = cur["extrinsics"].astype(np.float64)
+            self.prev_overlap_aligned_3x4 = cur["extrinsics_global"][-1].astype(np.float32)
+        else:
+            s, R, t, fitness, rmse = self.process_chunk_alignment(
+                self.prev_chunk_prediction, cur
+            )
+            print(
+                f"  chunk {self.chunk_count}: depth_scale={s:.4f} "
+                f"fitness={fitness:.4f} inlier_rmse={rmse:.5f}"
+            )
+
+        self.results.append(
+            {
+                "chunk_idx": cur["chunk_idx"],
+                "image_paths": cur["image_paths"],
+                "extrinsics_global": cur["extrinsics_global"],
+                "intrinsics": cur["intrinsics"],
+            }
+        )
+        self.update_viewer(cur)
+        self.prev_chunk_prediction = cur
+        self.update_buffer_after_chunk_processed()
+        self.chunk_count += 1
+        if self.sleep_between_chunk:
+            time.sleep(self.sleep_between_chunk)
+
+    def run(self) -> None:
+        image_paths = load_image_paths(self.image_dir)
+        if not image_paths:
+            print(f"Warning: No images found in {self.image_dir}")
+            return
+        image_paths = extract_keyframes(image_paths, self.keyframe_interval)
+        print(f"Running SLAM over {len(image_paths)} keyframes "
+              f"(chunk_size={self.chunk_size}, overlap={self.overlap_size})")
+        for img_path in image_paths:
+            self.process_frame(img_path)
+        print("SLAM process completed")
+
+    # -- export ------------------------------------------------------------
+    def trajectory(self) -> tuple[np.ndarray, np.ndarray]:
+        """Global (c2w) poses + intrinsics for every processed frame,
+        deduplicating overlap frames between consecutive chunks."""
+        from da3slam_tpu.core.transforms import se3_inverse, se3_to_4x4
+        import jax.numpy as jnp
+
+        poses, intrs = [], []
+        for k, res in enumerate(self.results):
+            start = 0 if k == 0 else self.overlap_size
+            for i in range(start, len(res["image_paths"])):
+                w2c = se3_to_4x4(jnp.asarray(res["extrinsics_global"][i], jnp.float32))
+                poses.append(np.asarray(se3_to_4x4(se3_inverse(w2c[:3]))))
+                intrs.append(res["intrinsics"][i])
+        return np.stack(poses), np.stack(intrs)

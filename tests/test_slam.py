@@ -1,0 +1,171 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from da3slam_tpu.slam import (
+    SLAMSolver,
+    make_chunk_indices,
+    make_image_chunks,
+    chain_extrinsics,
+    align_chunk_single_overlap,
+    AlignmentConfig,
+)
+from da3slam_tpu.core.transforms import se3_to_4x4, se3_inverse
+
+from fake_model import FakeDA3, make_trajectory, make_fake_image_dir, render_depth
+
+
+class TestChunking:
+    def test_basic(self):
+        idx = make_chunk_indices(10, 4, 1)
+        assert idx[0] == (0, 4)
+        assert all(b - a == 4 for a, b in idx)
+        # consecutive chunks overlap by >= 1
+        for (a1, b1), (a2, b2) in zip(idx, idx[1:]):
+            assert a2 < b1
+        assert idx[-1][1] == 10
+
+    def test_tail_reanchored_keeps_full_size(self):
+        idx = make_chunk_indices(11, 4, 1)
+        assert idx[-1] == (7, 11)
+
+    def test_short_sequence_single_chunk(self):
+        assert make_chunk_indices(3, 5, 1) == [(0, 3)]
+
+    def test_image_chunks_match_indices(self):
+        items = list(range(12))
+        chunks = make_image_chunks(items, 5, 2)
+        assert chunks[0] == [0, 1, 2, 3, 4]
+        assert chunks[1][0] == 3  # step = 5 - 2
+
+    def test_invalid_overlap_raises(self):
+        with pytest.raises(ValueError):
+            make_chunk_indices(10, 3, 3)
+
+
+class TestChainExtrinsics:
+    def test_identity_anchor_reproduces_local(self):
+        poses = make_trajectory(6)
+        E_local = jnp.asarray(poses, jnp.float32)
+        # anchor = local frame 0 → chain must reproduce the local chain
+        out = chain_extrinsics(E_local, E_local[0])
+        np.testing.assert_allclose(np.asarray(out), poses, atol=1e-5)
+
+    def test_anchored_chain_preserves_relatives(self):
+        rng = np.random.default_rng(0)
+        poses = make_trajectory(5)
+        E_local = jnp.asarray(poses, jnp.float32)
+        anchor = jnp.asarray(make_trajectory(3, seed=7)[2], jnp.float32)
+        out = np.asarray(chain_extrinsics(E_local, anchor))
+        np.testing.assert_allclose(out[0], np.asarray(anchor), atol=1e-6)
+        # relative transforms preserved: E_i ∘ E_{i-1}^-1 equal in both chains
+        for i in range(1, 5):
+            rel_local = np.asarray(se3_to_4x4(jnp.asarray(poses[i], jnp.float32)))[:3] @ np.linalg.inv(
+                np.asarray(se3_to_4x4(jnp.asarray(poses[i - 1], jnp.float32)))
+            )
+            rel_global = np.asarray(se3_to_4x4(jnp.asarray(out[i])))[:3] @ np.linalg.inv(
+                np.asarray(se3_to_4x4(jnp.asarray(out[i - 1])))
+            )
+            np.testing.assert_allclose(rel_global, rel_local, atol=1e-4)
+
+
+def ate_rmse(c2w_est: np.ndarray, c2w_gt: np.ndarray) -> float:
+    """Absolute trajectory error on camera centers (no alignment — the
+    global frames coincide by construction)."""
+    return float(np.sqrt(np.mean(np.sum((c2w_est[:, :3, 3] - c2w_gt[:, :3, 3]) ** 2, -1))))
+
+
+def gt_c2w(poses_w2c: np.ndarray) -> np.ndarray:
+    out = []
+    for E in poses_w2c:
+        M = np.eye(4)
+        M[:3] = E
+        out.append(np.linalg.inv(M))
+    return np.stack(out)
+
+
+class TestSLAMEndToEnd:
+    CONFIG = {
+        "Model": {"chunk_size": 5, "overlap_size": 1, "keyframe_interval": 1,
+                  "sleep_between_chunk": 0, "port": 8080},
+        "Align": {"icp_max_iterations": 25},
+    }
+
+    def run_solver(self, tmp_path, n_frames=13, chunk_scales=None, depth_noise=0.0):
+        poses = make_trajectory(n_frames)
+        model = FakeDA3(poses, chunk_scales=chunk_scales, depth_noise=depth_noise)
+        image_dir = make_fake_image_dir(tmp_path, n_frames)
+        solver = SLAMSolver(image_dir, self.CONFIG, model=model, viewer=None)
+        solver.run()
+        return solver, poses
+
+    def test_trajectory_recovered_exact_scales(self, tmp_path):
+        solver, poses = self.run_solver(tmp_path)
+        c2w_est, intrs = solver.trajectory()
+        gt = gt_c2w(poses)
+        assert len(c2w_est) == len(gt)
+        assert ate_rmse(c2w_est, gt) < 5e-3
+
+    def test_trajectory_recovered_with_chunk_scale_ambiguity(self, tmp_path):
+        """Per-chunk random metric scale must be absorbed by the stitcher
+        (depth prescale, solver.py:125-126)."""
+        solver, poses = self.run_solver(
+            tmp_path, chunk_scales=[1.0, 1.4, 0.7, 1.2, 0.9]
+        )
+        c2w_est, _ = solver.trajectory()
+        gt = gt_c2w(poses)
+        assert ate_rmse(c2w_est, gt) < 1e-2
+
+    def test_robust_to_depth_noise(self, tmp_path):
+        solver, poses = self.run_solver(
+            tmp_path, chunk_scales=[1.0, 1.3, 0.8], depth_noise=0.01
+        )
+        c2w_est, _ = solver.trajectory()
+        gt = gt_c2w(poses)
+        assert ate_rmse(c2w_est, gt) < 0.05
+
+    def test_empty_dir_is_noop(self, tmp_path):
+        d = tmp_path / "empty"
+        d.mkdir()
+        model = FakeDA3(make_trajectory(3))
+        solver = SLAMSolver(str(d), self.CONFIG, model=model, viewer=None)
+        solver.run()
+        assert solver.results == []
+
+    def test_keyframe_interval(self, tmp_path):
+        poses = make_trajectory(20)
+        model = FakeDA3(poses)
+        image_dir = make_fake_image_dir(tmp_path, 20)
+        cfg = {"Model": dict(self.CONFIG["Model"], keyframe_interval=2)}
+        solver = SLAMSolver(image_dir, cfg, model=model, viewer=None)
+        solver.run()
+        # 10 keyframes → chunks of 5 with overlap 1
+        used = [p for res in solver.results for p in res["image_paths"]]
+        assert all(int(p.split("/")[-1].split(".")[0]) % 2 == 0 for p in used)
+
+
+class TestAlignmentMethods:
+    @pytest.mark.parametrize("method", ["icp", "irls", "umeyama"])
+    def test_methods_run_and_anchor(self, method):
+        """All dispatch methods produce a valid anchored chain on an exact
+        overlap (same frame seen twice)."""
+        poses = make_trajectory(6)
+        model = FakeDA3(poses)
+        pred_a = model.inference([f"{i:06d}.jpg" for i in range(0, 3)])
+        pred_b = model.inference([f"{i:06d}.jpg" for i in range(2, 5)])
+        out = align_chunk_single_overlap(
+            prev_depth=jnp.asarray(pred_a.depth[-1]),
+            prev_conf=jnp.asarray(pred_a.conf[-1]),
+            prev_K=jnp.asarray(pred_a.intrinsics[-1]),
+            cur_depth=jnp.asarray(pred_b.depth),
+            cur_conf=jnp.asarray(pred_b.conf),
+            cur_K=jnp.asarray(pred_b.intrinsics),
+            cur_extrinsics=jnp.asarray(pred_b.extrinsics),
+            prev_overlap_global=jnp.asarray(pred_a.extrinsics[-1]),
+            config=AlignmentConfig(method=method),
+        )
+        # chunk A's frame is the global anchor; frame 2 appears in both chunks,
+        # so cur frame 0's global pose must equal prev frame 2's pose
+        np.testing.assert_allclose(
+            np.asarray(out.extrinsics_global[0]), pred_a.extrinsics[-1], atol=2e-3
+        )
