@@ -1,0 +1,71 @@
+"""End-to-end SLAM throughput benchmark (driver entry point).
+
+Measures the BASELINE.md headline metric: end-to-end depth+pose streaming
+FPS on one chip — the full device-resident scan pipeline (DA3-SMALL forward
++ depth-scale + projective ICP + pose chaining) over 16-frame windows at the
+reference's process_res=504 geometry, single-frame overlap
+(configs/config1.yaml:7-9 → chunk windows, SURVEY.md §6).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the 30 FPS target from BASELINE.json (the reference publishes no
+numbers of its own).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from da3slam_tpu.models import DepthAnything3
+    from da3slam_tpu.slam.pipeline import run_streaming_slam
+
+    chunk_size, overlap = 16, 1
+    n_frames = 106  # 7 windows of 16 with step 15
+    hw = (504, 504)  # square C3VD-style crops at the reference resolution
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(n_frames, hw[0], hw[1], 3), dtype=np.uint8)
+
+    model = DepthAnything3.from_pretrained("small")
+
+    def run():
+        out = run_streaming_slam(
+            model.params,
+            frames,
+            model.cfg,
+            chunk_size=chunk_size,
+            overlap=overlap,
+            process_hw=hw,
+        )
+        jax.block_until_ready(out)
+        return out
+
+    run()  # warmup / compile
+    t0 = time.perf_counter()
+    n_reps = 3
+    for _ in range(n_reps):
+        out = run()
+    dt = (time.perf_counter() - t0) / n_reps
+
+    fps = n_frames / dt
+    baseline_fps = 30.0
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_slam_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline_fps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

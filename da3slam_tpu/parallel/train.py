@@ -1,0 +1,107 @@
+"""Distributed training step for the DA3 model.
+
+The reference pipeline is inference-only; production deployment of a depth
+model needs fine-tuning (domain adaptation to e.g. endoscopy, C3VD), so the
+framework ships a real train step: scale-invariant log-depth loss with
+confidence weighting + pose loss, AdamW, jitted over the ``(dp, tp)`` mesh
+with explicit parameter/batch shardings.  Collectives (gradient psum over
+dp, activation collectives from tensor parallelism) are inserted by GSPMD.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from da3slam_tpu.models.config import ModelConfig
+from da3slam_tpu.models.da3 import forward_fn, init_params
+from da3slam_tpu.parallel.sharding import batch_sharding, param_shardings, replicated
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def depth_loss(pred_depth, pred_conf, gt_depth, eps=1e-6):
+    """Confidence-weighted scale-invariant log loss (Eigen-style affine
+    invariance is handled by the pose/scale heads; here si-log suffices)."""
+    valid = (gt_depth > eps).astype(jnp.float32)
+    diff = (jnp.log(pred_depth + eps) - jnp.log(gt_depth + eps)) * valid
+    n = jnp.maximum(valid.sum(), 1.0)
+    silog = (diff**2).sum() / n - 0.5 * (diff.sum() / n) ** 2
+    # conf head learns to predict its own error (weighted residual - log conf)
+    conf_term = (pred_conf * diff**2 - jnp.log(pred_conf)).sum() / n
+    return silog + 0.1 * conf_term
+
+
+def pose_loss(pred_ext, gt_ext):
+    return jnp.mean((pred_ext - gt_ext) ** 2)
+
+
+def make_train_step(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    learning_rate: float = 1e-4,
+    dtype=jnp.float32,
+):
+    """Returns ``(init_fn, step_fn)`` jitted over the mesh.
+
+    ``step_fn(state, batch)`` where batch = dict(images [B,N,H,W,3] f32
+    normalised, depth [B,N,H,W], extrinsics [B,N,3,4]), sharded over dp.
+    """
+    tx = optax.adamw(learning_rate)
+
+    def loss_fn(params, batch):
+        def per_window(images, gt_depth, gt_ext):
+            out = forward_fn(params, images, cfg, dtype=dtype)
+            return (
+                depth_loss(out["depth"], out["conf"], gt_depth)
+                + pose_loss(out["extrinsics"], gt_ext)
+            )
+
+        losses = jax.vmap(per_window)(
+            batch["images"], batch["depth"], batch["extrinsics"]
+        )
+        return jnp.mean(losses)
+
+    p_shard = lambda params: param_shardings(params, mesh)  # noqa: E731
+
+    def init_fn(seed: int = 0) -> TrainState:
+        params = init_params(jax.random.PRNGKey(seed), cfg)
+        params = jax.device_put(params, p_shard(params))
+        opt_state = tx.init(params)
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: TrainState, batch) -> tuple[TrainState, jax.Array]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def place_batch(batch):
+        return jax.device_put(batch, batch_sharding(mesh))
+
+    return init_fn, step_fn, place_batch
+
+
+def synthetic_batch(cfg: ModelConfig, batch: int, n_views: int, hw: tuple[int, int], seed=0):
+    """Tiny synthetic supervised batch for smoke tests / dryruns."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    H, W = hw
+    return {
+        "images": rng.normal(size=(batch, n_views, H, W, 3)).astype("float32"),
+        "depth": rng.uniform(0.5, 3.0, size=(batch, n_views, H, W)).astype("float32"),
+        "extrinsics": np.tile(
+            np.eye(4, dtype="float32")[:3], (batch, n_views, 1, 1)
+        ),
+    }

@@ -1,0 +1,92 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from da3slam_tpu.models import DepthAnything3
+from da3slam_tpu.slam.pipeline import make_windows, run_streaming_slam
+from da3slam_tpu.slam.solver import SLAMSolver
+
+
+class TestWindows:
+    def test_exact_tiling(self):
+        idx = make_windows(10, 4, 1)
+        assert idx.shape == (3, 4)
+        np.testing.assert_array_equal(idx[0], [0, 1, 2, 3])
+        np.testing.assert_array_equal(idx[1], [3, 4, 5, 6])
+        np.testing.assert_array_equal(idx[2], [6, 7, 8, 9])
+
+
+class TestScanPipeline:
+    def make_frames(self, n=10, h=56, w=70, seed=0):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(40, 200, size=(h, w, 3))
+        frames = []
+        for i in range(n):
+            f = np.roll(base, shift=i * 2, axis=1) + rng.integers(0, 20, size=(h, w, 3))
+            frames.append(np.clip(f, 0, 255))
+        return np.stack(frames).astype(np.uint8)
+
+    def test_shapes_and_anchoring(self):
+        model = DepthAnything3.from_pretrained("tiny")
+        frames = self.make_frames()
+        out = run_streaming_slam(
+            model.params, frames, model.cfg, chunk_size=4, overlap=1,
+            process_hw=(56, 70), dtype=jnp.float32,
+        )
+        C, N = 3, 4
+        assert out.depth.shape == (C, N, 56, 70)
+        assert out.extrinsics_global.shape == (C, N, 3, 4)
+        assert np.isfinite(np.asarray(out.depth)).all()
+        assert np.isfinite(np.asarray(out.extrinsics_global)).all()
+        # first window anchors the global frame: frame 0 = identity
+        np.testing.assert_allclose(
+            np.asarray(out.extrinsics_global[0, 0]), np.eye(4)[:3], atol=1e-5
+        )
+        # first window needs no scale correction
+        assert float(out.depth_scale[0]) == 1.0
+
+    def test_pipeline_matches_host_solver(self, tmp_path):
+        """The scan pipeline and the host-loop SLAMSolver must produce the
+        same trajectory for the same model/frames/config (the pipeline is an
+        execution-strategy change, not a math change)."""
+        from PIL import Image
+
+        model = DepthAnything3.from_pretrained("tiny")
+        frames = self.make_frames(n=10, h=56, w=70)
+
+        d = tmp_path / "frames"
+        d.mkdir()
+        for i, f in enumerate(frames):
+            Image.fromarray(f).save(d / f"{i:06d}.png")  # lossless
+
+        config = {
+            "Model": {"chunk_size": 4, "overlap_size": 1, "keyframe_interval": 1,
+                      "sleep_between_chunk": 0},
+        }
+        # process_res=70 → upper_bound_shape(56,70) = (56,70): no resampling
+        solver = SLAMSolver(str(d), config, model=model, viewer=None)
+        orig_inference = model.inference
+        model.inference = lambda **kw: orig_inference(**{**kw, "process_res": 70})
+        solver.run()
+        model.inference = orig_inference
+
+        out = run_streaming_slam(
+            model.params, frames, model.cfg, chunk_size=4, overlap=1,
+            process_hw=(56, 70), dtype=jnp.float32,
+        )
+
+        for k, res in enumerate(solver.results):
+            np.testing.assert_allclose(
+                np.asarray(out.extrinsics_global[k]),
+                res["extrinsics_global"],
+                atol=1e-3,
+            )
+
+    def test_deterministic(self):
+        model = DepthAnything3.from_pretrained("tiny")
+        frames = self.make_frames()
+        o1 = run_streaming_slam(model.params, frames, model.cfg, chunk_size=4,
+                                overlap=1, process_hw=(56, 70), dtype=jnp.float32)
+        o2 = run_streaming_slam(model.params, frames, model.cfg, chunk_size=4,
+                                overlap=1, process_hw=(56, 70), dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(o1.depth), np.asarray(o2.depth))
