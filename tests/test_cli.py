@@ -1,0 +1,102 @@
+"""CLI + export tests, driven through the argparse mains with the tiny model."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from da3slam_tpu.inout.ply import read_ply
+
+
+@pytest.fixture()
+def image_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    d = tmp_path / "frames"
+    d.mkdir()
+    base = rng.integers(40, 200, size=(56, 70, 3))
+    for i in range(9):
+        f = np.clip(np.roll(base, i * 3, axis=1) + rng.integers(0, 25, (56, 70, 3)), 0, 255)
+        Image.fromarray(f.astype(np.uint8)).save(d / f"{i:06d}.png")
+    return d
+
+
+@pytest.fixture()
+def tiny_config(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        "Weights:\n  DA3: tiny\n"
+        "Model:\n  chunk_size: 4\n  overlap_size: 1\n  keyframe_interval: 1\n"
+        "  sleep_between_chunk: 0\n  port: 8099\n"
+    )
+    return p
+
+
+class TestMainSlam:
+    def test_end_to_end_with_export(self, image_dir, tiny_config, tmp_path):
+        from da3slam_tpu.cli.main_slam import main
+
+        out = tmp_path / "out"
+        main([
+            "--image_dir", str(image_dir), "--config", str(tiny_config),
+            "--output_dir", str(out), "--headless",
+        ])
+        assert (out / "camera_poses.txt").exists()
+        assert (out / "intrinsic.txt").exists()
+        rows = (out / "camera_poses.txt").read_text().strip().split("\n")
+        assert len(rows) == 7  # 9 frames, chunks [0-4),[3-7): frames 0..6
+        assert len(rows[0].split()) == 16
+
+
+class TestMainAlign:
+    def test_chunks_align_and_ply(self, image_dir, tmp_path):
+        from da3slam_tpu.cli.main_align import main
+
+        ply = tmp_path / "fused.ply"
+        main([
+            "--image_dir", str(image_dir), "--model", "tiny",
+            "--chunk_size", "4", "--method", "icp", "--process_res", "70",
+            "--output_ply", str(ply), "--headless",
+        ])
+        pts, cols = read_ply(ply)
+        assert pts.shape[0] > 1000
+        assert cols is not None
+
+
+class TestMainConf:
+    def test_writes_figures(self, image_dir, tmp_path):
+        from da3slam_tpu.cli.main_conf import main
+
+        out = tmp_path / "viz"
+        main([
+            "--image_dir", str(image_dir), "--model", "tiny",
+            "--chunk_size", "3", "--output_dir", str(out), "--process_res", "70",
+        ])
+        assert (out / "heatmap_grid.png").exists()
+        assert (out / "comparison_000.png").exists()
+        assert (out / "comparison_002.png").exists()
+
+
+class TestMain3DGS:
+    def test_exports_gaussians_and_glb(self, image_dir, tmp_path):
+        from da3slam_tpu.cli.main_3dgs import main
+
+        out = tmp_path / "scene.ply"
+        glb = tmp_path / "scene.glb"
+        main([
+            "--image_dir", str(image_dir), "--model", "tiny",
+            "--chunk_size", "4", "--output", str(out), "--glb", str(glb),
+            "--process_res", "70",
+        ])
+        # 3DGS layout check
+        header = out.read_bytes()[:600].decode("ascii", "ignore")
+        for prop in ["f_dc_0", "opacity", "scale_0", "rot_3"]:
+            assert f"property float {prop}" in header
+        # GLB magic + parses
+        blob = glb.read_bytes()
+        assert blob[:4] == b"glTF"
+        import json, struct
+
+        jlen = struct.unpack("<I", blob[12:16])[0]
+        gltf = json.loads(blob[20 : 20 + jlen])
+        assert gltf["meshes"][0]["primitives"][0]["mode"] == 0  # POINTS
+        n = gltf["accessors"][0]["count"]
+        assert n > 1000
