@@ -181,6 +181,60 @@ def sim3_transform_w2c(E: jax.Array, T: Sim3) -> jax.Array:
     return out[..., :3, :4]
 
 
+def so3_exp(omega: jax.Array) -> jax.Array:
+    """Rotation vector ``[..., 3]`` → rotation matrix (Rodrigues), jit-safe
+    with a Taylor fallback near zero."""
+    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    small = theta < 1e-6
+    theta_safe = jnp.where(small, 1.0, theta)
+    k = omega / theta_safe
+    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
+    zeros = jnp.zeros_like(kx)
+    K = jnp.stack(
+        [
+            jnp.stack([zeros, -kz, ky], -1),
+            jnp.stack([kz, zeros, -kx], -1),
+            jnp.stack([-ky, kx, zeros], -1),
+        ],
+        axis=-2,
+    )
+    th = theta[..., None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
+    R_full = eye + jnp.sin(th) * K + (1 - jnp.cos(th)) * (K @ K)
+    # first-order fallback for tiny angles (exact enough, avoids 0/0)
+    Ox = jnp.stack(
+        [
+            jnp.stack([zeros, -omega[..., 2], omega[..., 1]], -1),
+            jnp.stack([omega[..., 2], zeros, -omega[..., 0]], -1),
+            jnp.stack([-omega[..., 1], omega[..., 0], zeros], -1),
+        ],
+        axis=-2,
+    )
+    R_small = eye + Ox
+    return jnp.where(small[..., None], R_small, R_full)
+
+
+def so3_log(R: jax.Array) -> jax.Array:
+    """Rotation matrix → rotation vector ``[..., 3]`` (inverse of so3_exp)."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_theta = jnp.clip((tr - 1) / 2, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    vee = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    small = theta < 1e-6
+    # sin(theta) ≈ theta near zero → factor ≈ 1/2
+    factor = jnp.where(
+        small, 0.5, theta / jnp.maximum(2 * jnp.sin(theta), 1e-12)
+    )
+    return factor[..., None] * vee
+
+
 # ---------------------------------------------------------------------------
 # Rotation parameterisations
 # ---------------------------------------------------------------------------

@@ -1,0 +1,137 @@
+"""Loop-closure detection + loop Sim(3) constraint estimation.
+
+Native replacement for the reference's external ``LoopDetector`` /
+``get_loop_sim3_from_loop_predict`` machinery (da3_streaming.py:366-521,
+disabled in the reference because ``loop_utils`` was not vendored).
+
+Detection: lightweight appearance retrieval — per-frame descriptors are
+L2-normalised downsampled grayscale thumbnails; candidate pairs need
+cosine similarity above ``threshold`` and temporal separation above
+``min_gap``; non-maximum suppression keeps the best pair per neighborhood.
+
+Constraint: the reference's joint-re-inference trick — run the model once
+over [chunk_a frames, chunk_b frames] so cross-view attention places both
+in one consistent frame, then register each chunk's stored geometry to the
+joint prediction (confidence-weighted IRLS, pixelwise correspondence) and
+compose:  T(b→a) = T_a^{-1} ∘ T_b.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from da3slam_tpu.core.geometry import backproject_depth
+from da3slam_tpu.core.transforms import Sim3, sim3_compose, sim3_inverse
+from da3slam_tpu.ops.registration import irls_sim3
+
+
+class LoopPair(NamedTuple):
+    frame_a: int
+    frame_b: int
+    similarity: float
+
+
+def frame_descriptor(image: np.ndarray, size: int = 16) -> np.ndarray:
+    """L2-normalised grayscale thumbnail descriptor."""
+    img = np.asarray(image, np.float32)
+    if img.ndim == 3:
+        img = img.mean(-1)
+    H, W = img.shape
+    ys = (np.arange(size) * H // size).clip(0, H - 1)
+    xs = (np.arange(size) * W // size).clip(0, W - 1)
+    thumb = img[np.ix_(ys, xs)].reshape(-1)
+    thumb = thumb - thumb.mean()
+    n = np.linalg.norm(thumb)
+    return thumb / n if n > 0 else thumb
+
+
+class LoopDetector:
+    def __init__(self, threshold: float = 0.92, min_gap: int = 30, max_loops: int = 10):
+        self.threshold = threshold
+        self.min_gap = min_gap
+        self.max_loops = max_loops
+        self._descs: list[np.ndarray] = []
+
+    def add_frame(self, image: np.ndarray) -> None:
+        self._descs.append(frame_descriptor(image))
+
+    def detect(self) -> list[LoopPair]:
+        if len(self._descs) < self.min_gap + 2:
+            return []
+        D = np.stack(self._descs)  # [T, d]
+        sim = D @ D.T
+        T = sim.shape[0]
+        ii, jj = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
+        mask = (jj - ii) >= self.min_gap
+        cand = np.argwhere(mask & (sim > self.threshold))
+        if cand.size == 0:
+            return []
+        # greedy NMS: best-similarity pairs first, suppress neighbours
+        order = np.argsort(-sim[cand[:, 0], cand[:, 1]])
+        chosen: list[LoopPair] = []
+        for k in order:
+            a, b = int(cand[k, 0]), int(cand[k, 1])
+            if any(abs(a - p.frame_a) < self.min_gap // 2 and
+                   abs(b - p.frame_b) < self.min_gap // 2 for p in chosen):
+                continue
+            chosen.append(LoopPair(a, b, float(sim[a, b])))
+            if len(chosen) >= self.max_loops:
+                break
+        return chosen
+
+
+def loop_sim3_from_joint_prediction(
+    chunk_a: dict,
+    chunk_b: dict,
+    joint_prediction,
+    irls_delta: float = 0.1,
+    irls_iters: int = 10,
+) -> Sim3:
+    """Register two stored chunks through one joint model prediction.
+
+    ``chunk_a``/``chunk_b``: dicts with depth [N,H,W], conf, extrinsics,
+    intrinsics (as spilled to disk by the streaming pass).
+    ``joint_prediction``: model output over chunk_a's frames followed by
+    chunk_b's frames.
+
+    Returns T mapping chunk_b chunk-coords → chunk_a chunk-coords.
+    """
+    na = chunk_a["depth"].shape[0]
+
+    def register(chunk, joint_slice) -> Sim3:
+        pts_chunk = backproject_depth(
+            jnp.asarray(chunk["depth"]),
+            jnp.asarray(chunk["intrinsics"]),
+            jnp.asarray(chunk["extrinsics"]),
+        ).reshape(-1, 3)
+        pts_joint = backproject_depth(
+            jnp.asarray(joint_slice["depth"]),
+            jnp.asarray(joint_slice["intrinsics"]),
+            jnp.asarray(joint_slice["extrinsics"]),
+        ).reshape(-1, 3)
+        conf = jnp.sqrt(
+            jnp.maximum(jnp.asarray(chunk["conf"]).reshape(-1), 0)
+            * jnp.maximum(jnp.asarray(joint_slice["conf"]).reshape(-1), 0)
+        )
+        med = jnp.median(conf)
+        conf = jnp.where(conf > 0.1 * med, conf, 0.0)
+        res = irls_sim3(pts_chunk, pts_joint, conf=conf,
+                        delta=irls_delta, max_iters=irls_iters)
+        return res.transform
+
+    j = joint_prediction
+    slice_a = {
+        "depth": j.depth[:na], "conf": j.conf[:na],
+        "extrinsics": j.extrinsics[:na], "intrinsics": j.intrinsics[:na],
+    }
+    slice_b = {
+        "depth": j.depth[na:], "conf": j.conf[na:],
+        "extrinsics": j.extrinsics[na:], "intrinsics": j.intrinsics[na:],
+    }
+    T_a = register(chunk_a, slice_a)  # chunk_a coords → joint coords
+    T_b = register(chunk_b, slice_b)  # chunk_b coords → joint coords
+    return sim3_compose(sim3_inverse(T_a), T_b)

@@ -1,0 +1,305 @@
+"""Long-sequence disk-spilling streaming SLAM (reference da3_streaming.py:132-859).
+
+Two-pass design mirroring the reference:
+
+PASS 1 — per chunk: model inference (conf shifted by −1.0 like the
+reference, da3_streaming.py:276), spill the prediction to
+``_tmp_results_unaligned/chunk_<i>.npz``, and estimate the chunk-to-previous
+Sim(3) from the world-coordinate overlap point maps with confidence-weighted
+IRLS (threshold = 0.1 · min of the two conf medians, da3_streaming.py:334-343).
+
+(optionally) LOOP CLOSURE — appearance retrieval over keyframes → joint
+re-inference of loop chunk pairs → Sim(3) constraints → pose-graph LM
+(the machinery the reference ships disabled, da3_streaming.py:589-624).
+
+PASS 2 — accumulate Sim(3)s to the chunk-0 frame, re-load each chunk, apply
+its accumulated transform, write aligned npz + confident point-cloud PLY
+(threshold = mean·coef, sampled — da3_streaming.py:664-695), then export
+``camera_poses.txt`` / ``intrinsic.txt`` / ``camera_poses.ply`` and the
+merged cloud.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from da3slam_tpu.core.geometry import backproject_depth
+from da3slam_tpu.core.transforms import Sim3, sim3_accumulate, sim3_apply, sim3_to_matrix
+from da3slam_tpu.inout.images import load_image_paths
+from da3slam_tpu.inout.ply import merge_ply_files, write_ply
+from da3slam_tpu.inout.trajectory import save_camera_poses
+from da3slam_tpu.ops.registration import irls_sim3
+from da3slam_tpu.slam.chunks import make_chunk_indices
+from da3slam_tpu.slam.loop import LoopDetector, loop_sim3_from_joint_prediction
+
+
+class DA3Streaming:
+    def __init__(self, image_dir: str, save_dir: str, config: dict, model=None):
+        self.image_dir = image_dir
+        self.output_dir = Path(save_dir)
+        mcfg = config.get("Model", {})
+        self.chunk_size = mcfg.get("chunk_size", 16)
+        self.overlap = mcfg.get("overlap", mcfg.get("overlap_size", 4))
+        self.overlap_s = self.overlap // 2
+        self.overlap_e = self.overlap - self.overlap_s
+        self.loop_enable = config.get("Loop", {}).get("enable", mcfg.get("loop_enable", False))
+        self.delete_temp_files = mcfg.get("delete_temp_files", True)
+        pcfg = config.get("Pointcloud_Save", mcfg.get("Pointcloud_Save", {})) or {}
+        self.conf_threshold_coef = pcfg.get("conf_threshold_coef", 1.0)
+        self.sample_ratio = pcfg.get("sample_ratio", 0.3)
+        icfg = config.get("IRLS", {}) or {}
+        self.irls_delta = icfg.get("delta", 0.1)
+        self.irls_iters = icfg.get("max_iters", 5)
+        lcfg = config.get("Loop", {}).get("SIM3_Optimizer", {}) or {}
+        self.loop_max_iterations = lcfg.get("max_iterations", 30)
+        self.loop_lambda_init = lcfg.get("lambda_init", 1e-6)
+
+        self.result_unaligned_dir = self.output_dir / "_tmp_results_unaligned"
+        self.result_aligned_dir = self.output_dir / "_tmp_results_aligned"
+        self.result_loop_dir = self.output_dir / "_tmp_results_loop"
+        self.pcd_dir = self.output_dir / "pcd"
+        for d in (self.result_unaligned_dir, self.result_aligned_dir,
+                  self.result_loop_dir, self.pcd_dir):
+            d.mkdir(parents=True, exist_ok=True)
+
+        if model is None:
+            from da3slam_tpu.models import DepthAnything3
+
+            model = DepthAnything3.from_pretrained(
+                config.get("Weights", {}).get("DA3", "small")
+            )
+        self.model = model
+        self.process_res = mcfg.get("process_res", 504)
+
+        self.img_list: list[str] = []
+        self.chunk_ranges: list[tuple[int, int]] = []
+        self.sim3_list: list[Sim3] = []  # entry k: chunk k+1 coords → chunk k
+        self.all_camera_poses: list[tuple[tuple[int, int], np.ndarray]] = []
+        self.all_camera_intrinsics: list[np.ndarray] = []
+        self.loop_detector = LoopDetector() if self.loop_enable else None
+        self.loop_edges: list[tuple[int, int, Sim3]] = []
+
+    # -- pass 1 ------------------------------------------------------------
+    def process_single_chunk(self, chunk_range: tuple[int, int], chunk_idx: int) -> dict:
+        paths = self.img_list[chunk_range[0] : chunk_range[1]]
+        pred = self.model.inference(image=paths, process_res=self.process_res)
+        chunk = {
+            "depth": np.squeeze(np.asarray(pred.depth)),
+            "conf": np.asarray(pred.conf) - 1.0,  # shifted like the reference
+            "extrinsics": np.asarray(pred.extrinsics),
+            "intrinsics": np.asarray(pred.intrinsics),
+            "images": np.asarray(pred.processed_images),
+        }
+        np.savez(
+            self.result_unaligned_dir / f"chunk_{chunk_idx}.npz", **chunk
+        )
+        self.all_camera_poses.append((chunk_range, chunk["extrinsics"]))
+        self.all_camera_intrinsics.append(chunk["intrinsics"])
+        if self.loop_detector is not None:
+            for img in chunk["images"][: self.chunk_size - self.overlap]:
+                self.loop_detector.add_frame(img)
+        return chunk
+
+    def load_chunk(self, chunk_idx: int, aligned: bool = False) -> dict:
+        d = self.result_aligned_dir if aligned else self.result_unaligned_dir
+        return dict(np.load(d / f"chunk_{chunk_idx}.npz"))
+
+    def align_2pcds(self, prev: dict, cur: dict) -> Sim3:
+        """Confidence-weighted Sim(3) from the world-coord overlap point maps
+        (da3_streaming.py:322-364 semantics).  Returns cur→prev."""
+        o = self.overlap
+        pts_prev = backproject_depth(
+            jnp.asarray(prev["depth"][-o:]),
+            jnp.asarray(prev["intrinsics"][-o:]),
+            jnp.asarray(prev["extrinsics"][-o:]),
+        ).reshape(-1, 3)
+        pts_cur = backproject_depth(
+            jnp.asarray(cur["depth"][:o]),
+            jnp.asarray(cur["intrinsics"][:o]),
+            jnp.asarray(cur["extrinsics"][:o]),
+        ).reshape(-1, 3)
+        c_prev = jnp.asarray(prev["conf"][-o:]).reshape(-1)
+        c_cur = jnp.asarray(cur["conf"][:o]).reshape(-1)
+        conf = jnp.sqrt(jnp.maximum(c_prev, 0) * jnp.maximum(c_cur, 0))
+        threshold = 0.1 * jnp.minimum(jnp.median(c_prev), jnp.median(c_cur))
+        conf = jnp.where((c_prev > threshold) & (c_cur > threshold), conf, 0.0)
+        res = irls_sim3(
+            pts_cur, pts_prev, conf=conf,
+            delta=self.irls_delta, max_iters=self.irls_iters,
+        )
+        print(f"  sim3: s={float(res.transform.s):.4f} rmse={float(res.rmse):.5f} "
+              f"n_eff={int(res.n_effective)}")
+        return res.transform
+
+    # -- loop closure ------------------------------------------------------
+    def _chunk_of_frame(self, frame_idx: int) -> int:
+        step = self.chunk_size - self.overlap
+        return min(frame_idx // step, len(self.chunk_ranges) - 1)
+
+    def detect_and_close_loops(self) -> None:
+        pairs = self.loop_detector.detect()
+        seen: set[tuple[int, int]] = set()
+        for p in pairs:
+            a, b = self._chunk_of_frame(p.frame_a), self._chunk_of_frame(p.frame_b)
+            if a == b or (a, b) in seen or abs(a - b) < 2:
+                continue
+            seen.add((a, b))
+            chunk_a, chunk_b = self.load_chunk(a), self.load_chunk(b)
+            ra, rb = self.chunk_ranges[a], self.chunk_ranges[b]
+            joint_paths = self.img_list[ra[0] : ra[1]] + self.img_list[rb[0] : rb[1]]
+            joint = self.model.inference(image=joint_paths, process_res=self.process_res)
+            joint.conf = joint.conf - 1.0
+            T_ba = loop_sim3_from_joint_prediction(
+                chunk_a, chunk_b, joint,
+                irls_delta=self.irls_delta, irls_iters=max(self.irls_iters, 10),
+            )
+            self.loop_edges.append((a, b, T_ba))
+            print(f"  loop edge: chunk {b} → chunk {a} (sim {p.similarity:.3f})")
+
+    def _optimize_pose_graph(self, accumulated: Sim3) -> Sim3:
+        from da3slam_tpu.ops.posegraph import (
+            add_loop_edges,
+            optimize_sim3_pose_graph,
+            sequential_edges,
+        )
+
+        edges = sequential_edges(self.sim3_list)
+        edges = add_loop_edges(edges, self.loop_edges)
+        return optimize_sim3_pose_graph(
+            accumulated, edges,
+            max_iterations=self.loop_max_iterations,
+            lambda_init=self.loop_lambda_init,
+        )
+
+    # -- pass 2 ------------------------------------------------------------
+    def process_long_sequence(self) -> None:
+        self.chunk_ranges = make_chunk_indices(
+            len(self.img_list), self.chunk_size, self.overlap
+        )
+        print(f"{len(self.img_list)} frames → {len(self.chunk_ranges)} chunks")
+
+        prev = None
+        for k, rng in enumerate(self.chunk_ranges):
+            print(f"[pass1] chunk {k + 1}/{len(self.chunk_ranges)}")
+            cur = self.process_single_chunk(rng, k)
+            if prev is not None:
+                self.sim3_list.append(self.align_2pcds(prev, cur))
+            prev = cur
+
+        if self.loop_enable and self.loop_detector is not None:
+            print("[loop] detecting loop closures")
+            self.detect_and_close_loops()
+
+        stacked = (
+            Sim3(
+                jnp.stack([T.s for T in self.sim3_list]),
+                jnp.stack([T.R for T in self.sim3_list]),
+                jnp.stack([T.t for T in self.sim3_list]),
+            )
+            if self.sim3_list
+            else Sim3(jnp.zeros((0,)), jnp.zeros((0, 3, 3)), jnp.zeros((0, 3)))
+        )
+        accumulated = sim3_accumulate(stacked)  # [K] chunk k → chunk 0
+
+        if self.loop_edges:
+            print(f"[loop] optimising pose graph with {len(self.loop_edges)} loop edges")
+            accumulated = self._optimize_pose_graph(accumulated)
+        self.accumulated = accumulated
+
+        for k in range(len(self.chunk_ranges)):
+            print(f"[pass2] aligning chunk {k + 1}/{len(self.chunk_ranges)}")
+            chunk = self.load_chunk(k)
+            T = Sim3(accumulated.s[k], accumulated.R[k], accumulated.t[k])
+            pts = backproject_depth(
+                jnp.asarray(chunk["depth"]),
+                jnp.asarray(chunk["intrinsics"]),
+                jnp.asarray(chunk["extrinsics"]),
+            )
+            pts_aligned = np.asarray(sim3_apply(T, pts.reshape(-1, 3))).reshape(pts.shape)
+            np.savez(
+                self.result_aligned_dir / f"chunk_{k}.npz",
+                points=pts_aligned, conf=chunk["conf"], images=chunk["images"],
+            )
+            self._save_confident_pointcloud(k, pts_aligned, chunk)
+
+        self.save_camera_poses()
+        n = merge_ply_files(self.pcd_dir, self.output_dir / "combined_pcd.ply")
+        print(f"merged cloud: {n} points → {self.output_dir / 'combined_pcd.ply'}")
+
+    def _save_confident_pointcloud(self, k: int, pts: np.ndarray, chunk: dict) -> None:
+        conf = chunk["conf"]
+        threshold = conf.mean() * self.conf_threshold_coef
+        keep = (conf > threshold).reshape(-1)
+        pts_flat = pts.reshape(-1, 3)[keep]
+        cols_flat = chunk["images"].reshape(-1, 3)[keep]
+        if self.sample_ratio < 1.0 and len(pts_flat) > 0:
+            n_keep = max(int(len(pts_flat) * self.sample_ratio), 1)
+            idx = np.random.default_rng(k).choice(len(pts_flat), n_keep, replace=False)
+            pts_flat, cols_flat = pts_flat[idx], cols_flat[idx]
+        write_ply(self.pcd_dir / f"chunk_{k}.ply", pts_flat, cols_flat)
+
+    # -- exports -----------------------------------------------------------
+    def save_camera_poses(self) -> None:
+        """Compose each chunk's accumulated Sim(3) with its c2w poses,
+        normalising rotation by the scale (da3_streaming.py:714-817)."""
+        n_frames = len(self.img_list)
+        all_poses = [None] * n_frames
+        all_intr = [None] * n_frames
+
+        for k, (rng, ext) in enumerate(self.all_camera_poses):
+            S = np.asarray(
+                sim3_to_matrix(Sim3(self.accumulated.s[k], self.accumulated.R[k],
+                                    self.accumulated.t[k]))
+            )
+            s = float(self.accumulated.s[k])
+            start = rng[0] + (self.overlap_s if k > 0 else 0)
+            end = rng[1] - (self.overlap_e if k < len(self.all_camera_poses) - 1 else 0)
+            for i, idx in enumerate(range(start, end)):
+                local_i = i + (self.overlap_s if k > 0 else 0)
+                w2c = np.eye(4)
+                w2c[:3] = ext[local_i]
+                c2w = np.linalg.inv(w2c)
+                c2w = S @ c2w
+                c2w[:3, :3] /= s  # normalise rotation (da3_streaming.py:772)
+                all_poses[idx] = c2w
+                all_intr[idx] = self.all_camera_intrinsics[k][local_i]
+
+        # frames not covered (possible with the re-anchored tail) fall back to
+        # their nearest covered neighbor
+        last = np.eye(4)
+        last_K = np.eye(3)
+        for idx in range(n_frames):
+            if all_poses[idx] is None:
+                all_poses[idx] = last
+                all_intr[idx] = last_K
+            else:
+                last, last_K = all_poses[idx], all_intr[idx]
+
+        save_camera_poses(self.output_dir, np.stack(all_poses), np.stack(all_intr))
+
+    # -- public API --------------------------------------------------------
+    def run(self) -> None:
+        self.img_list = load_image_paths(self.image_dir)
+        if not self.img_list:
+            raise ValueError(f"[DIR EMPTY] No images found in {self.image_dir}!")
+        print(f"Found {len(self.img_list)} images")
+        self.process_long_sequence()
+
+    def close(self) -> None:
+        """Delete temp spill files, reporting reclaimed space
+        (da3_streaming.py:819-859)."""
+        if not self.delete_temp_files:
+            return
+        total = 0
+        for d in (self.result_unaligned_dir, self.result_aligned_dir, self.result_loop_dir):
+            for f in Path(d).iterdir():
+                if f.is_file():
+                    total += f.stat().st_size
+            shutil.rmtree(d, ignore_errors=True)
+        print(f"Saved disk space: {total / 1024**3:.4f} GiB")

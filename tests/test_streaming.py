@@ -1,0 +1,181 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from da3slam_tpu.core.transforms import Sim3, sim3_apply, sim3_compose, sim3_inverse, so3_exp, so3_log
+from da3slam_tpu.ops.posegraph import (
+    PoseGraphEdges,
+    add_loop_edges,
+    optimize_sim3_pose_graph,
+    sequential_edges,
+)
+from da3slam_tpu.slam.loop import LoopDetector, frame_descriptor
+from da3slam_tpu.slam.streaming import DA3Streaming
+
+from fake_model import FakeDA3, make_trajectory, make_fake_image_dir
+from test_slam import ate_rmse, gt_c2w
+
+
+class TestSO3:
+    def test_exp_log_roundtrip(self):
+        rng = np.random.default_rng(0)
+        for scale in [1e-8, 1e-4, 0.1, 1.0]:  # |w| < pi: log is the inverse
+            w = jnp.asarray(rng.normal(size=3) * scale, jnp.float32)
+            w2 = so3_log(so3_exp(w))
+            np.testing.assert_allclose(np.asarray(w2), np.asarray(w), atol=1e-5)
+
+    def test_log_returns_principal_rotation_beyond_pi(self):
+        w = jnp.asarray([-6.975, -0.656, -3.738], jnp.float32)  # |w| > pi
+        w2 = so3_log(so3_exp(w))
+        np.testing.assert_allclose(
+            np.asarray(so3_exp(w2)), np.asarray(so3_exp(w)), atol=1e-5
+        )
+        assert float(jnp.linalg.norm(w2)) <= np.pi + 1e-5
+
+    def test_exp_is_rotation(self):
+        R = np.asarray(so3_exp(jnp.asarray([0.3, -0.2, 0.5])))
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-6)
+
+
+def random_sim3(rng, s_spread=0.2, t_spread=0.5):
+    w = rng.normal(size=3) * 0.3
+    return Sim3(
+        jnp.asarray(np.exp(rng.normal() * s_spread), jnp.float32),
+        so3_exp(jnp.asarray(w, jnp.float32)),
+        jnp.asarray(rng.normal(size=3) * t_spread, jnp.float32),
+    )
+
+
+def stack_sim3(Ts):
+    return Sim3(
+        jnp.stack([T.s for T in Ts]),
+        jnp.stack([T.R for T in Ts]),
+        jnp.stack([T.t for T in Ts]),
+    )
+
+
+def perturb(T, rng, eps):
+    dw = jnp.asarray(rng.normal(size=3) * eps, jnp.float32)
+    return Sim3(
+        T.s * np.exp(rng.normal() * eps),
+        so3_exp(dw) @ T.R,
+        T.t + jnp.asarray(rng.normal(size=3) * eps, jnp.float32),
+    )
+
+
+class TestPoseGraph:
+    def make_chain(self, K, rng):
+        """GT absolute node transforms S_k (chunk k → world) and exact
+        sequential measurements M_k = S_k^{-1} ∘ S_{k+1} (chunk k+1 → chunk k)."""
+        nodes = [Sim3(jnp.asarray(1.0, jnp.float32), jnp.eye(3), jnp.zeros(3))]
+        for _ in range(K - 1):
+            nodes.append(sim3_compose(nodes[-1], random_sim3(rng)))
+        meas = [
+            sim3_compose(sim3_inverse(nodes[k]), nodes[k + 1]) for k in range(K - 1)
+        ]
+        return nodes, meas
+
+    def test_exact_edges_zero_residual_preserved(self):
+        rng = np.random.default_rng(1)
+        nodes, meas = self.make_chain(5, rng)
+        edges = sequential_edges(meas)
+        out = optimize_sim3_pose_graph(stack_sim3(nodes), edges, max_iterations=5)
+        for k in range(5):
+            np.testing.assert_allclose(float(out.s[k]), float(nodes[k].s), rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(out.t[k]), np.asarray(nodes[k].t), atol=1e-3)
+
+    def test_loop_edge_corrects_drift(self):
+        """Noisy odometry + one exact loop edge: optimisation must pull the
+        last node back toward ground truth."""
+        rng = np.random.default_rng(2)
+        K = 6
+        nodes, meas = self.make_chain(K, rng)
+        noisy_meas = [perturb(M, rng, 0.03) for M in meas]
+        # drifted initialisation = integrate noisy odometry
+        init = [nodes[0]]
+        for M in noisy_meas:
+            init.append(sim3_compose(init[-1], M))
+        drift_before = float(jnp.linalg.norm(init[-1].t - nodes[-1].t))
+
+        loop_meas = sim3_compose(sim3_inverse(nodes[0]), nodes[K - 1])  # exact
+        edges = add_loop_edges(
+            sequential_edges(noisy_meas), [(0, K - 1, loop_meas)], weight=3.0
+        )
+        out = optimize_sim3_pose_graph(stack_sim3(init), edges, max_iterations=30)
+        drift_after = float(jnp.linalg.norm(out.t[-1] - nodes[-1].t))
+        assert drift_after < drift_before * 0.3
+        # anchor stays fixed
+        np.testing.assert_allclose(float(out.s[0]), 1.0, atol=1e-6)
+
+
+class TestLoopDetector:
+    def make_image(self, rng, seed_pattern):
+        r = np.random.default_rng(seed_pattern)
+        return r.integers(0, 255, size=(48, 64, 3)).astype(np.uint8)
+
+    def test_detects_revisit(self):
+        rng = np.random.default_rng(3)
+        det = LoopDetector(threshold=0.9, min_gap=10)
+        # frames 0..19 distinct; frames 40..44 revisit frames 0..4
+        for i in range(40):
+            det.add_frame(self.make_image(rng, i))
+        for i in range(5):
+            img = self.make_image(rng, i)
+            noisy = np.clip(img.astype(int) + rng.integers(-5, 5, img.shape), 0, 255)
+            det.add_frame(noisy.astype(np.uint8))
+        pairs = det.detect()
+        assert pairs, "revisit not detected"
+        assert all(p.frame_b - p.frame_a >= 10 for p in pairs)
+        assert any(p.frame_a < 5 and p.frame_b >= 40 for p in pairs)
+
+    def test_no_false_loops_on_distinct_frames(self):
+        det = LoopDetector(threshold=0.9, min_gap=5)
+        for i in range(30):
+            det.add_frame(self.make_image(None, 1000 + i))
+        assert det.detect() == []
+
+    def test_descriptor_normalised(self):
+        d = frame_descriptor(np.random.default_rng(0).integers(0, 255, (48, 64, 3)))
+        np.testing.assert_allclose(np.linalg.norm(d), 1.0, atol=1e-6)
+
+
+class TestStreamingEndToEnd:
+    CONFIG = {
+        "Model": {"chunk_size": 5, "overlap": 2, "process_res": 64,
+                  "delete_temp_files": True},
+        "Pointcloud_Save": {"conf_threshold_coef": 0.5, "sample_ratio": 0.5},
+    }
+
+    def test_long_sequence(self, tmp_path):
+        n = 14
+        poses = make_trajectory(n)
+        model = FakeDA3(poses, chunk_scales=[1.0, 1.3, 0.8, 1.1, 0.95])
+        image_dir = make_fake_image_dir(tmp_path, n)
+        out = tmp_path / "out"
+        s = DA3Streaming(image_dir, str(out), self.CONFIG, model=model)
+        s.run()
+
+        # exports exist in the reference formats
+        assert (out / "combined_pcd.ply").exists()
+        rows = (out / "camera_poses.txt").read_text().strip().split("\n")
+        assert len(rows) == n and len(rows[0].split()) == 16
+        assert len((out / "intrinsic.txt").read_text().strip().split("\n")) == n
+
+        # trajectory accuracy: c2w centers vs ground truth
+        from da3slam_tpu.inout.trajectory import load_camera_poses
+
+        c2w = load_camera_poses(out / "camera_poses.txt")
+        gt = gt_c2w(poses)
+        assert ate_rmse(c2w, gt) < 0.05
+
+        s.close()
+        assert not (out / "_tmp_results_unaligned").exists()
+
+    def test_empty_dir_raises(self, tmp_path):
+        d = tmp_path / "none"
+        d.mkdir()
+        s = DA3Streaming(str(d), str(tmp_path / "o"), self.CONFIG,
+                         model=FakeDA3(make_trajectory(3)))
+        with pytest.raises(ValueError, match="DIR EMPTY"):
+            s.run()
