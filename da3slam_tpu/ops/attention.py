@@ -13,6 +13,12 @@ import jax
 import jax.numpy as jnp
 
 
+# below this sequence length XLA's fused attention wins (dispatch-latency
+# bound); above it the Pallas flash kernel wins by streaming K/V through
+# VMEM (measured on v5e: 1.66x at S≈21k, the 16-frame cross-view shape)
+FLASH_MIN_SEQ = 4096
+
+
 @functools.partial(jax.jit, static_argnames=("impl",))
 def multi_head_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, impl: str = "auto"
@@ -21,11 +27,17 @@ def multi_head_attention(
 
     Args:
       q, k, v: ``[B, S, H, Dh]``
-      impl: "auto" | "xla" | "pallas"
+      impl: "auto" (flash on TPU for long sequences, XLA otherwise) |
+            "xla" | "pallas"
 
     Returns ``[B, S, H, Dh]``.
     """
-    if impl == "pallas":
+    use_flash = impl == "pallas" or (
+        impl == "auto"
+        and q.shape[1] >= FLASH_MIN_SEQ
+        and jax.default_backend() == "tpu"
+    )
+    if use_flash:
         from da3slam_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v)
