@@ -29,6 +29,14 @@ def write_ply(
         if colors.dtype != np.uint8:
             colors = np.clip(colors * 255.0 if colors.max() <= 1.0 else colors, 0, 255).astype(np.uint8)
 
+    if binary:
+        # fast path: the C++ writer streams straight from the buffers
+        from da3slam_tpu import native
+
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        if native.write_ply_native(path, points, colors if has_color else None):
+            return
+
     header = ["ply"]
     header.append("format binary_little_endian 1.0" if binary else "format ascii 1.0")
     header.append(f"element vertex {n}")
@@ -62,6 +70,12 @@ def write_ply(
 def read_ply(path: str | Path) -> tuple[np.ndarray, np.ndarray | None]:
     """Read a PLY written by :func:`write_ply` (and the common subset of
     ascii/binary_little_endian vertex-only files)."""
+    from da3slam_tpu import native
+
+    fast = native.read_ply_native(path)
+    if fast is not None:
+        return fast
+
     with open(path, "rb") as f:
         header_lines = []
         while True:
