@@ -43,7 +43,11 @@ def main() -> None:
             overlap=overlap,
             process_hw=hw,
         )
-        jax.block_until_ready(out)
+        # a host fetch of a value depending on every window forces true
+        # completion (block_until_ready alone can return early through the
+        # remote-relay transport)
+        float(np.asarray(out.depth_scale).sum())
+        float(np.asarray(out.extrinsics_global[-1, -1]).sum())
         return out
 
     run()  # warmup / compile

@@ -39,7 +39,14 @@ class AlignmentConfig:
 
     conf_threshold: float = 0.2  # depth-scale confidence gate (solver.py:125)
     icp_threshold: float = 0.1  # correspondence gate (align_geometry_single.py:195)
-    icp_max_iterations: int = 50  # (align_geometry_single.py:196)
+    # the reference ran 50 point-to-point Open3D iterations
+    # (align_geometry_single.py:196); point-to-plane converges in <10 and
+    # each iteration costs a gather pass, so the default is lower
+    icp_max_iterations: int = 12
+    # source-cloud pixel stride: the overlap frame has ~250k pixels at the
+    # reference resolution; ~16k points estimate the same 6-7 DoF transform
+    # at a fraction of the gather cost (the target map stays full-res)
+    icp_stride: int = 4
     method: str = "icp"  # "icp" | "irls" | "umeyama"
     irls_delta: float = 0.1  # configs/config1.yaml IRLS block
     irls_max_iters: int = 5
@@ -87,9 +94,17 @@ def align_chunk_single_overlap(
     config: AlignmentConfig = AlignmentConfig(),
 ) -> ChunkAlignment:
     """Single-frame-overlap chunk alignment (jittable with static config)."""
-    # 1) depth scale: prev(last) vs cur(first), conf-gated median ratio
+    # 1) depth scale: prev(last) vs cur(first), conf-gated median ratio.
+    # Strided: the exact median needs a full device sort (O(n log^2 n)
+    # bitonic on TPU); the median over a stride-4 grid of ~16k samples is
+    # statistically identical for smooth depth maps and ~16x cheaper.
+    sst = max(int(config.icp_stride), 1)
     s_depth = depth_scale_ratio(
-        prev_depth, cur_depth[0], prev_conf, cur_conf[0], conf_th=config.conf_threshold
+        prev_depth[::sst, ::sst],
+        cur_depth[0][::sst, ::sst],
+        prev_conf[::sst, ::sst],
+        cur_conf[0][::sst, ::sst],
+        conf_th=config.conf_threshold,
     )
     depth_scaled = cur_depth * s_depth
     # the chunk's metric rescale applies to its whole local world: extrinsic
@@ -101,10 +116,11 @@ def align_chunk_single_overlap(
     )
 
     # 2) overlap registration in camera coords (viewpoints nearly coincide)
+    st = max(int(config.icp_stride), 1)
     tgt_map = backproject_depth(prev_depth, prev_K)  # prev last frame
     src_map = backproject_depth(depth_scaled[0], cur_K[0])  # cur first frame
-    src_pts = src_map.reshape(-1, 3)
-    src_valid = depth_scaled[0].reshape(-1) > 1e-6
+    src_pts = src_map[::st, ::st].reshape(-1, 3)
+    src_valid = depth_scaled[0][::st, ::st].reshape(-1) > 1e-6
     tgt_valid = prev_depth > 1e-6
 
     if config.method == "icp":
@@ -120,12 +136,16 @@ def align_chunk_single_overlap(
         )
         T, fitness, rmse = icp.transform, icp.fitness, icp.inlier_rmse
     elif config.method == "irls":
-        # pixelwise correspondence (same grid), confidence-weighted IRLS
-        w = jnp.sqrt(prev_conf.reshape(-1) * cur_conf[0].reshape(-1))
-        w = w * src_valid * tgt_valid.reshape(-1)
+        # pixelwise correspondence (same grid, both maps strided identically),
+        # confidence-weighted IRLS
+        tgt_pts = tgt_map[::st, ::st].reshape(-1, 3)
+        w = jnp.sqrt(
+            prev_conf[::st, ::st].reshape(-1) * cur_conf[0][::st, ::st].reshape(-1)
+        )
+        w = w * src_valid * tgt_valid[::st, ::st].reshape(-1)
         res = irls_sim3(
             src_pts,
-            tgt_map.reshape(-1, 3),
+            tgt_pts,
             conf=w,
             delta=config.irls_delta,
             max_iters=config.irls_max_iters,
@@ -135,8 +155,10 @@ def align_chunk_single_overlap(
     elif config.method == "umeyama":
         from da3slam_tpu.ops.registration import weighted_umeyama
 
-        w = (src_valid & tgt_valid.reshape(-1)).astype(jnp.float32)
-        T = weighted_umeyama(src_pts, tgt_map.reshape(-1, 3), w, config.with_scale)
+        w = (src_valid & tgt_valid[::st, ::st].reshape(-1)).astype(jnp.float32)
+        T = weighted_umeyama(
+            src_pts, tgt_map[::st, ::st].reshape(-1, 3), w, config.with_scale
+        )
         fitness, rmse = jnp.asarray(1.0), jnp.asarray(0.0)
     else:
         raise ValueError(f"unknown alignment method {config.method!r}")
