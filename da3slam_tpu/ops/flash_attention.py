@@ -86,8 +86,8 @@ def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 2048,
 ) -> jax.Array:
     """Softmax(QKᵀ/√d)·V for ``[B, S, H, D]`` inputs (full attention).
 

@@ -125,21 +125,29 @@ def icp_point_to_point(
     fx, fy = tgt_K[0, 0], tgt_K[1, 1]
     cx, cy = tgt_K[0, 2], tgt_K[1, 2]
     tgt_normals = estimate_normals(tgt_map)
+    H, W = tgt_map.shape[0], tgt_map.shape[1]
+    # One stacked channel tensor so each association is a SINGLE gather:
+    # [point(3) | normal(3) | validity(1)].  TPU gathers are expensive; the
+    # original 3-map bilinear association (12 corner gathers per iteration)
+    # dominated the SLAM loop's runtime.
+    stacked = jnp.concatenate([tgt_map, tgt_normals, tgt_w], axis=-1).reshape(H * W, 7)
 
     def associate(T: Sim3):
         p = T.s * (src @ T.R.T) + T.t  # moved source
         z = jnp.maximum(p[..., 2], 1e-8)
         u = fx * p[..., 0] / z + cx
         v = fy * p[..., 1] / z + cy
-        uv = jnp.stack([u, v], -1)
-        q, in_bounds = bilinear_gather(tgt_map, uv)
-        n, _ = bilinear_gather(tgt_normals, uv)
+        # nearest-pixel association (KinectFusion-style): one flat gather
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
+        in_bounds = (u >= -0.5) & (u <= W - 0.5) & (v >= -0.5) & (v <= H - 0.5)
+        vals = jnp.take(stacked, vi * W + ui, axis=0)  # [N, 7]
+        q = vals[..., 0:3]
+        n = vals[..., 3:6]
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
-        qw, _ = bilinear_gather(tgt_w, uv)
-        # a bilinear sample is trustworthy only where all 4 corners are valid
-        corner_ok = qw[..., 0] > 0.999
+        tgt_ok = vals[..., 6] > 0.5
         dist = jnp.linalg.norm(p - q, axis=-1)
-        valid = (src_valid & in_bounds & corner_ok & (p[..., 2] > 0)).astype(jnp.float32)
+        valid = (src_valid & in_bounds & tgt_ok & (p[..., 2] > 0)).astype(jnp.float32)
         return p, q, n, dist, valid
 
     n_params = 7 if with_scale else 6
