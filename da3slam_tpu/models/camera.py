@@ -41,6 +41,89 @@ def init_camera_head(key: jax.Array, cfg: ModelConfig) -> Params:
     }
 
 
+def pose_from_rays(
+    rays: jax.Array,
+    K: jax.Array,
+    stride: int = 8,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Recover per-view w2c extrinsics from predicted Plücker ray maps.
+
+    The depth-ray representation: every pixel predicts its viewing ray in the
+    chunk frame as ``(d, m)`` with unit direction ``d`` and moment
+    ``m = c × d`` (``c`` = camera center).  Then:
+
+      * camera center: least squares over rays,
+        ``Σ (I − d dᵀ) c = Σ d × m``  (3x3 solve per view)
+      * rotation: Kabsch between the canonical camera-frame pixel rays
+        ``K⁻¹ [u, v, 1]`` and the predicted world directions → R_c2w
+
+    Args:
+      rays: ``[N, H, W, 6]``; K: ``[N, 3, 3]``.
+
+    Returns ``[N, 3, 4]`` w2c.
+    """
+    from da3slam_tpu.core.geometry import pixel_grid
+
+    N, H, W, _ = rays.shape
+    d = rays[:, ::stride, ::stride, 0:3].reshape(N, -1, 3)
+    m = rays[:, ::stride, ::stride, 3:6].reshape(N, -1, 3)
+
+    # center: A c = b with A = Σ (I − d dᵀ), b = Σ d × m
+    A = jnp.sum(
+        jnp.eye(3)[None, None] - d[..., :, None] * d[..., None, :], axis=1
+    )  # [N, 3, 3]
+    b = jnp.sum(jnp.cross(d, m), axis=1)  # [N, 3]
+    A = A + eps * jnp.eye(3)[None]
+    c = jnp.linalg.solve(A, b[..., None])[..., 0]  # [N, 3]
+
+    # rotation: canonical camera rays at the same strided pixels
+    pix = pixel_grid(H, W, rays.dtype)[::stride, ::stride].reshape(-1, 3)  # [P, 3]
+    fx, fy = K[:, 0, 0], K[:, 1, 1]
+    cx, cy = K[:, 0, 2], K[:, 1, 2]
+    r = jnp.stack(
+        [
+            (pix[None, :, 0] - cx[:, None]) / fx[:, None],
+            (pix[None, :, 1] - cy[:, None]) / fy[:, None],
+            jnp.ones((N, pix.shape[0]), rays.dtype),
+        ],
+        axis=-1,
+    )
+    r = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True), eps)
+
+    # Kabsch per view: world dirs = R_c2w @ cam dirs
+    Sigma = jnp.einsum("npi,npj->nij", d, r)  # [N, 3, 3]
+    U, _, Vt = jnp.linalg.svd(Sigma)
+    det = jnp.linalg.det(jnp.einsum("nij,njk->nik", U, Vt))
+    D = jnp.ones((N, 3)).at[:, 2].set(det)
+    R_c2w = jnp.einsum("nij,nj,njk->nik", U, D, Vt)
+
+    R_w2c = jnp.swapaxes(R_c2w, -1, -2)
+    t = -jnp.einsum("nij,nj->ni", R_w2c, c)
+    return jnp.concatenate([R_w2c, t[..., None]], axis=-1)
+
+
+def rays_from_pose(
+    extrinsics: jax.Array, K: jax.Array, hw: tuple[int, int]
+) -> jax.Array:
+    """Inverse of :func:`pose_from_rays` for testing/supervision: the exact
+    Plücker ray map ``[N, H, W, 6]`` of given w2c poses."""
+    from da3slam_tpu.core.geometry import pixel_grid
+    from da3slam_tpu.core.transforms import se3_inverse
+
+    H, W = hw
+    pix = pixel_grid(H, W)  # [H, W, 3]
+    Kinv_ray = jnp.einsum(
+        "nij,hwj->nhwi", jnp.linalg.inv(K), pix
+    )
+    c2w = se3_inverse(extrinsics)
+    d = jnp.einsum("nij,nhwj->nhwi", c2w[:, :3, :3], Kinv_ray)
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+    c = c2w[:, :3, 3]
+    m = jnp.cross(jnp.broadcast_to(c[:, None, None], d.shape), d)
+    return jnp.concatenate([d, m], axis=-1)
+
+
 def ref_view_index(n_views: int, strategy: str) -> int:
     """Static reference-view selection (the local-frame anchor)."""
     if strategy in ("first", "default"):

@@ -54,22 +54,33 @@ def forward_fn(
     ref_idx: int = 0,
     attn_impl: str = "auto",
     dtype=jnp.float32,
+    use_ray_pose: bool = False,
 ) -> dict[str, jax.Array]:
     """Pure forward: normalised images ``[N, H, W, 3]`` → prediction dict.
 
-    Jittable with static (cfg, ref_idx, attn_impl, dtype).
+    Jittable with static (cfg, ref_idx, attn_impl, dtype, use_ray_pose).
+    ``use_ray_pose`` recovers extrinsics from the dense Plücker ray maps
+    (the depth-ray representation) instead of the camera token head.
     """
     N, H, W, _ = images.shape
     taps, final, grid = vit.encode(params["encoder"], images, cfg, attn_impl, dtype)
-    depth, conf = dpt.apply_dpt(params["dpt"], taps, grid, (H, W), cfg)
+    depth, conf, rays = dpt.apply_dpt(params["dpt"], taps, grid, (H, W), cfg)
     extrinsics, intrinsics = camera.apply_camera_head(
         params["camera"], final[:, 0, :], (H, W), ref_idx
     )
+    if use_ray_pose:
+        from da3slam_tpu.core.transforms import se3_compose, se3_inverse
+
+        ext_rays = camera.pose_from_rays(rays, intrinsics)
+        # re-anchor so the reference view is the identity, like the head path
+        ext_rays = se3_compose(ext_rays, se3_inverse(ext_rays[ref_idx])[None])
+        extrinsics = ext_rays
     return {
         "depth": depth,
         "conf": conf,
         "extrinsics": extrinsics,
         "intrinsics": intrinsics,
+        "rays": rays,
     }
 
 
@@ -114,8 +125,8 @@ class DepthAnything3:
         return self
 
     # -- forward -----------------------------------------------------------
-    def _forward_jit(self, ref_idx: int):
-        key = (ref_idx, self.attn_impl, self.dtype)
+    def _forward_jit(self, ref_idx: int, use_ray_pose: bool = False):
+        key = (ref_idx, self.attn_impl, self.dtype, use_ray_pose)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
                 functools.partial(
@@ -124,6 +135,7 @@ class DepthAnything3:
                     ref_idx=ref_idx,
                     attn_impl=self.attn_impl,
                     dtype=self.dtype,
+                    use_ray_pose=use_ray_pose,
                 )
             )
         return self._jitted[key]
@@ -143,8 +155,9 @@ class DepthAnything3:
         """Reference-contract inference over one chunk of views.
 
         Keyword surface mirrors the observed reference call sites
-        (SURVEY.md §2.5).  ``use_ray_pose`` currently routes to the camera
-        head (the dedicated ray head is future work).
+        (SURVEY.md §2.5).  ``use_ray_pose=True`` recovers poses from the
+        dense ray maps (depth-ray representation) instead of the camera
+        token head.
         """
         if process_res_method != "upper_bound_resize":
             raise ValueError(f"unsupported process_res_method {process_res_method!r}")
@@ -154,7 +167,7 @@ class DepthAnything3:
         norm = resize_normalize(jnp.asarray(raw), (th, tw))
 
         ref_idx = camera.ref_view_index(raw.shape[0], ref_view_strategy)
-        out = self._forward_jit(ref_idx)(self.params, norm)
+        out = self._forward_jit(ref_idx, use_ray_pose)(self.params, norm)
 
         ext = out["extrinsics"]
         depth = out["depth"]

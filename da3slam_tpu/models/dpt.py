@@ -70,7 +70,11 @@ def init_dpt(key: jax.Array, cfg: ModelConfig) -> Params:
         ],
         "head1": conv(3, 3, F, F // 2),
         "head2": conv(3, 3, F // 2, 32),
-        "head_out": conv(1, 1, 32, 2),
+        # 8 channels: depth, conf, ray direction (3), ray moment (3) — the
+        # depth-ray representation (pose recoverable from the ray map,
+        # models/camera.py:pose_from_rays; reference exposes it as
+        # use_ray_pose=True, main_align.py:89)
+        "head_out": conv(1, 1, 32, 8),
     }
     return params
 
@@ -87,10 +91,11 @@ def apply_dpt(
     grid: tuple[int, int],
     out_hw: tuple[int, int],
     cfg: ModelConfig,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """taps: 4 × ``[N, S, D]`` encoder activations (with prefix tokens).
 
-    Returns ``(depth [N, H, W], conf [N, H, W])``.
+    Returns ``(depth [N, H, W], conf [N, H, W], rays [N, H, W, 6])`` where
+    rays = [unit direction | moment] (Plücker, camera chunk frame).
     """
     hp, wp = grid
     H, W = out_hw
@@ -125,4 +130,9 @@ def apply_dpt(
 
     depth = jax.nn.softplus(out[..., 0])
     conf = 1.0 + jax.nn.softplus(out[..., 1])
-    return depth, conf
+    d = out[..., 2:5]
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+    m = out[..., 5:8]
+    m = m - jnp.sum(m * d, axis=-1, keepdims=True) * d  # moment ⊥ direction
+    rays = jnp.concatenate([d, m], axis=-1)
+    return depth, conf, rays

@@ -58,6 +58,10 @@ class SLAMSolver:
         self.model = model if model is not None else self._load_model()
         self.viewer = self._init_viewer() if viewer == "auto" else viewer
 
+        from da3slam_tpu.utils import StageTimer
+
+        self.timer = StageTimer(sync=False)  # results are numpy already
+
     # -- setup -------------------------------------------------------------
     def _load_model(self):
         from da3slam_tpu.models import DepthAnything3
@@ -156,16 +160,18 @@ class SLAMSolver:
             return
 
         chunk_paths = self.load_chunk_image_paths()
-        cur = self.run_single_chunk_prediction(chunk_paths)
+        with self.timer("inference"):
+            cur = self.run_single_chunk_prediction(chunk_paths)
 
         if self.chunk_count == 0:
             # first chunk defines the global frame (solver.py:206-211)
             cur["extrinsics_global"] = cur["extrinsics"].astype(np.float64)
             self.prev_overlap_aligned_3x4 = cur["extrinsics_global"][-1].astype(np.float32)
         else:
-            s, R, t, fitness, rmse = self.process_chunk_alignment(
-                self.prev_chunk_prediction, cur
-            )
+            with self.timer("align"):
+                s, R, t, fitness, rmse = self.process_chunk_alignment(
+                    self.prev_chunk_prediction, cur
+                )
             print(
                 f"  chunk {self.chunk_count}: depth_scale={s:.4f} "
                 f"fitness={fitness:.4f} inlier_rmse={rmse:.5f}"
@@ -179,7 +185,8 @@ class SLAMSolver:
                 "intrinsics": cur["intrinsics"],
             }
         )
-        self.update_viewer(cur)
+        with self.timer("viewer"):
+            self.update_viewer(cur)
         self.prev_chunk_prediction = cur
         self.update_buffer_after_chunk_processed()
         self.chunk_count += 1
@@ -197,6 +204,8 @@ class SLAMSolver:
         for img_path in image_paths:
             self.process_frame(img_path)
         print("SLAM process completed")
+        if self.timer.totals:
+            print("per-stage timing:\n" + self.timer.report())
 
     # -- export ------------------------------------------------------------
     def trajectory(self) -> tuple[np.ndarray, np.ndarray]:

@@ -50,6 +50,7 @@ class DA3Streaming:
         self.overlap_e = self.overlap - self.overlap_s
         self.loop_enable = config.get("Loop", {}).get("enable", mcfg.get("loop_enable", False))
         self.delete_temp_files = mcfg.get("delete_temp_files", True)
+        self.resume = mcfg.get("resume", False)
         pcfg = config.get("Pointcloud_Save", mcfg.get("Pointcloud_Save", {})) or {}
         self.conf_threshold_coef = pcfg.get("conf_threshold_coef", 1.0)
         self.sample_ratio = pcfg.get("sample_ratio", 0.3)
@@ -87,6 +88,18 @@ class DA3Streaming:
 
     # -- pass 1 ------------------------------------------------------------
     def process_single_chunk(self, chunk_range: tuple[int, int], chunk_idx: int) -> dict:
+        # resume support: the npz spill doubles as a checkpoint — re-runs skip
+        # chunks already inferred (the reference's spill had no resume path,
+        # SURVEY.md §5.4)
+        spill = self.result_unaligned_dir / f"chunk_{chunk_idx}.npz"
+        if self.resume and spill.exists():
+            chunk = dict(np.load(spill))
+            self.all_camera_poses.append((chunk_range, chunk["extrinsics"]))
+            self.all_camera_intrinsics.append(chunk["intrinsics"])
+            if self.loop_detector is not None:
+                for img in chunk["images"][: self.chunk_size - self.overlap]:
+                    self.loop_detector.add_frame(img)
+            return chunk
         paths = self.img_list[chunk_range[0] : chunk_range[1]]
         pred = self.model.inference(image=paths, process_res=self.process_res)
         chunk = {
