@@ -217,6 +217,8 @@ def _load_images(image) -> np.ndarray:
             frames.append(np.asarray(Image.open(item).convert("RGB")))
         else:
             frames.append(np.asarray(item))
+    if not frames:
+        raise ValueError("inference needs at least one image (got an empty list)")
     return np.stack(frames).astype(np.uint8)
 
 
