@@ -77,6 +77,8 @@ class DA3Streaming:
             )
         self.model = model
         self.process_res = mcfg.get("process_res", 504)
+        self.ref_view_strategy = mcfg.get("ref_view_strategy", "first")
+        self.ref_view_strategy_loop = mcfg.get("ref_view_strategy_loop", "middle")
 
         self.img_list: list[str] = []
         self.chunk_ranges: list[tuple[int, int]] = []
@@ -101,7 +103,11 @@ class DA3Streaming:
                     self.loop_detector.add_frame(img)
             return chunk
         paths = self.img_list[chunk_range[0] : chunk_range[1]]
-        pred = self.model.inference(image=paths, process_res=self.process_res)
+        pred = self.model.inference(
+            image=paths,
+            process_res=self.process_res,
+            ref_view_strategy=self.ref_view_strategy,
+        )
         chunk = {
             "depth": np.squeeze(np.asarray(pred.depth)),
             "conf": np.asarray(pred.conf) - 1.0,  # shifted like the reference
@@ -166,7 +172,13 @@ class DA3Streaming:
             chunk_a, chunk_b = self.load_chunk(a), self.load_chunk(b)
             ra, rb = self.chunk_ranges[a], self.chunk_ranges[b]
             joint_paths = self.img_list[ra[0] : ra[1]] + self.img_list[rb[0] : rb[1]]
-            joint = self.model.inference(image=joint_paths, process_res=self.process_res)
+            # loop pairs use their own reference-view strategy (the reference's
+            # loop-specific ref_view_strategy, da3_streaming.py:263-273)
+            joint = self.model.inference(
+                image=joint_paths,
+                process_res=self.process_res,
+                ref_view_strategy=self.ref_view_strategy_loop,
+            )
             joint.conf = joint.conf - 1.0
             T_ba = loop_sim3_from_joint_prediction(
                 chunk_a, chunk_b, joint,

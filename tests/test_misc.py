@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+
+from da3slam_tpu.viz.debug import get_distinct_color, apply_chunk_color_to_images_batch
+from da3slam_tpu.viz.sky import sky_mask_heuristic, apply_sky_segmentation
+from da3slam_tpu.utils import StageTimer
+
+
+class TestChunkColors:
+    def test_distinct_and_deterministic(self):
+        colors = [get_distinct_color(i) for i in range(10)]
+        assert len(set(colors)) == 10
+        assert colors == [get_distinct_color(i) for i in range(10)]
+        assert all(0 <= c <= 255 for rgb in colors for c in rgb)
+
+    def test_tint(self):
+        imgs = np.zeros((2, 8, 8, 3), np.uint8)
+        out = apply_chunk_color_to_images_batch(imgs, 0, blend=1.0)
+        assert (out[0, 0, 0] == np.asarray(get_distinct_color(0))).all()
+
+
+class TestSkyMask:
+    def make_scene(self):
+        """Blue sky upper half, brown ground lower half."""
+        img = np.zeros((40, 60, 3), np.uint8)
+        img[:20] = [110, 160, 230]  # sky blue
+        img[20:] = [120, 90, 50]  # ground
+        return img
+
+    def test_detects_sky_region(self):
+        mask = sky_mask_heuristic(self.make_scene())
+        assert mask[:18].mean() > 0.9
+        assert mask[22:].mean() < 0.05
+
+    def test_apply_zeroes_confidence(self):
+        img = self.make_scene()
+        conf = np.full((1, 40, 60), 2.0, np.float32)
+        out = apply_sky_segmentation(conf, img[None])
+        assert (out[0, :18] == 0).mean() > 0.9
+        assert (out[0, 22:] == 2.0).all()
+
+    def test_indoor_scene_mostly_unmasked(self):
+        rng = np.random.default_rng(0)
+        img = rng.integers(30, 120, (40, 60, 3)).astype(np.uint8)  # dark indoor
+        mask = sky_mask_heuristic(img)
+        assert mask.mean() < 0.1
+
+
+class TestStageTimer:
+    def test_accumulates_and_reports(self):
+        import time
+
+        t = StageTimer(sync=False)
+        for _ in range(3):
+            with t("work"):
+                time.sleep(0.01)
+        with t("other"):
+            pass
+        assert t.counts["work"] == 3
+        assert t.totals["work"] >= 0.03
+        rep = t.report()
+        assert "work" in rep and "other" in rep
+        t.reset()
+        assert not t.totals
+
+
+class TestOrbaxCheckpoint:
+    def test_train_state_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from da3slam_tpu.models.config import get_preset
+        from da3slam_tpu.parallel import make_mesh, make_train_step, synthetic_batch
+        from da3slam_tpu.parallel.checkpoint import save_train_state, restore_train_state
+
+        cfg = get_preset("tiny")
+        mesh = make_mesh(1)
+        init_fn, step_fn, place_batch = make_train_step(cfg, mesh)
+        state = init_fn(seed=0)
+        state, _ = step_fn(state, place_batch(synthetic_batch(cfg, 1, 2, (28, 28))))
+
+        save_train_state(tmp_path / "ckpt", state)
+        template = init_fn(seed=1)
+        restored = restore_train_state(tmp_path / "ckpt", template)
+        assert int(restored.step) == int(state.step) == 1
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
