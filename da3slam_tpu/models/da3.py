@@ -109,12 +109,44 @@ class DepthAnything3:
         """
         p = Path(path_or_preset)
         if (p / "model.safetensors").exists():
-            from da3slam_tpu.models.weights import load_checkpoint
+            from safetensors.numpy import load_file
 
-            params, cfg = load_checkpoint(p)
-            return cls(cfg, params)
+            flat = load_file(str(p / "model.safetensors"))
+            if any("/" in k for k in flat):  # native pytree-path layout
+                from da3slam_tpu.models.weights import load_checkpoint
+
+                params, cfg = load_checkpoint(p)
+                return cls(cfg, params)
+            # torch-style (dot-named) checkpoint → mapped import
+            return cls._from_torch_state_dict(flat, p, seed)
+        for torch_file in ("pytorch_model.bin", "model.pt", "model.bin"):
+            if (p / torch_file).exists():
+                from da3slam_tpu.models.torch_import import load_torch_checkpoint_file
+
+                sd = load_torch_checkpoint_file(p / torch_file)
+                return cls._from_torch_state_dict(sd, p, seed)
         cfg = get_preset(path_or_preset)
         params = init_params(jax.random.PRNGKey(seed), cfg)
+        return cls(cfg, params)
+
+    @classmethod
+    def _from_torch_state_dict(cls, sd, ckpt_dir: Path, seed: int) -> "DepthAnything3":
+        from da3slam_tpu.models.config import config_from_json
+        from da3slam_tpu.models.torch_import import import_torch_encoder
+
+        if (ckpt_dir / "config.json").exists():
+            try:
+                cfg = config_from_json(ckpt_dir / "config.json")
+            except Exception:
+                cfg = get_preset(str(ckpt_dir))
+        else:
+            cfg = get_preset(str(ckpt_dir))
+        params = init_params(jax.random.PRNGKey(seed), cfg)
+        params, report = import_torch_encoder(sd, params, cfg)
+        print(f"torch checkpoint import: {report}")
+        if report.missing:
+            print(f"  unmatched (kept at init): {report.missing[:8]}"
+                  + (" ..." if len(report.missing) > 8 else ""))
         return cls(cfg, params)
 
     # torch-API shims so reference-style call sites keep working
