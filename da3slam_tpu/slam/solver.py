@@ -35,6 +35,8 @@ class SLAMSolver:
         self.overlap_size = model_cfg.get("overlap_size", 1)
         self.keyframe_interval = model_cfg.get("keyframe_interval", 1)
         self.sleep_between_chunk = model_cfg.get("sleep_between_chunk", 0)
+        self.prefetch = model_cfg.get("prefetch", None)
+        self._prefetcher = None
         self.image_dir = image_dir
 
         self.chunk_count = 0
@@ -56,6 +58,12 @@ class SLAMSolver:
         )
 
         self.model = model if model is not None else self._load_model()
+        if self.prefetch is None:
+            # only the real model is known to accept pre-decoded arrays;
+            # custom models (e.g. path-keyed test doubles) keep paths
+            from da3slam_tpu.models import DepthAnything3
+
+            self.prefetch = isinstance(self.model, DepthAnything3)
         self.viewer = self._init_viewer() if viewer == "auto" else viewer
 
         from da3slam_tpu.utils import StageTimer
@@ -97,8 +105,13 @@ class SLAMSolver:
                     self.frame_buffer.popleft()
 
     def run_single_chunk_prediction(self, chunk_image_paths: List[str]) -> Dict:
+        if self._prefetcher is not None:
+            # decoded ahead by the background thread (host/device overlap)
+            image = self._prefetcher.get_batch(chunk_image_paths)
+        else:
+            image = chunk_image_paths
         pred = self.model.inference(
-            image=chunk_image_paths,
+            image=image,
             process_res_method="upper_bound_resize",
         )
         return {
@@ -201,8 +214,19 @@ class SLAMSolver:
         image_paths = extract_keyframes(image_paths, self.keyframe_interval)
         print(f"Running SLAM over {len(image_paths)} keyframes "
               f"(chunk_size={self.chunk_size}, overlap={self.overlap_size})")
-        for img_path in image_paths:
-            self.process_frame(img_path)
+        if self.prefetch:
+            from da3slam_tpu.inout.prefetch import ImagePrefetcher
+
+            self._prefetcher = ImagePrefetcher(
+                image_paths, lookahead=2 * self.chunk_size
+            )
+        try:
+            for img_path in image_paths:
+                self.process_frame(img_path)
+        finally:
+            if self._prefetcher is not None:
+                self._prefetcher.close()
+                self._prefetcher = None
         print("SLAM process completed")
         if self.timer.totals:
             print("per-stage timing:\n" + self.timer.report())
