@@ -111,11 +111,20 @@ def _mlp(p: Params, x: jax.Array) -> jax.Array:
     return h @ p["w2"].astype(x.dtype) + p["b2"].astype(x.dtype)
 
 
-def _block(p: Params, x: jax.Array, num_heads: int, cross_view: bool, impl: str) -> jax.Array:
-    """x: [N, S, D] (N views).  Cross-view blocks fold views into one sequence."""
+def _block(
+    p: Params, x: jax.Array, num_heads: int, cross_view: bool, impl: str,
+    cross_impl: str | None = None,
+) -> jax.Array:
+    """x: [N, S, D] (N views).  Cross-view blocks fold views into one sequence.
+
+    ``cross_impl`` lets cross-view blocks use a different attention backend
+    (e.g. ``"ring:dp"`` under a view-sharded shard_map) while intra-view
+    blocks stay local."""
     N, S, D = x.shape
     if cross_view:
         h = x.reshape(1, N * S, D)
+        if cross_impl is not None:
+            impl = cross_impl
     else:
         h = x
     a = _attention(p["attn"], layer_norm(p["ln1"], h), num_heads, impl)
@@ -140,6 +149,7 @@ def encode(
     cfg: ModelConfig,
     attn_impl: str = "auto",
     dtype=jnp.float32,
+    cross_attn_impl: str | None = None,
 ) -> tuple[list[jax.Array], jax.Array, tuple[int, int]]:
     """Run the encoder over a chunk of views.
 
@@ -179,7 +189,7 @@ def encode(
     tap_set = set(cfg.dpt_layers)
     for i, bp in enumerate(params["blocks"]):
         cross = (i % cfg.cross_view_interval) == (cfg.cross_view_interval - 1)
-        x = _block(bp, x, cfg.num_heads, cross, attn_impl)
+        x = _block(bp, x, cfg.num_heads, cross, attn_impl, cross_attn_impl)
         if i in tap_set:
             taps.append(x)
 

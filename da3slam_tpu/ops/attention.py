@@ -32,6 +32,12 @@ def multi_head_attention(
 
     Returns ``[B, S, H, Dh]``.
     """
+    if impl.startswith("ring:"):
+        # sequence-parallel: inside shard_map, K/V rotate over the named
+        # mesh axis (parallel/ring_attention.py)
+        from da3slam_tpu.parallel.ring_attention import ring_attention
+
+        return ring_attention(q, k, v, impl.split(":", 1)[1])
     use_flash = impl == "pallas" or (
         impl == "auto"
         and q.shape[1] >= FLASH_MIN_SEQ

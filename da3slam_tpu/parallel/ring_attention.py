@@ -53,9 +53,13 @@ def ring_attention(
     n_dev = jax.lax.psum(1, axis_name)
     scale = 1.0 / (q.shape[-1] ** 0.5)
 
-    m0 = jnp.full(q.shape[:-1] + (1,), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros(q.shape[:-1] + (1,), jnp.float32)
-    acc0 = jnp.zeros(q.shape, jnp.float32)
+    # derive the initial accumulator state from q so it carries the same
+    # varying-manual-axes type as the loop body outputs (shard_map VMA rule:
+    # scan carries must be device-varying if the body makes them so)
+    zeros_like_q = q.astype(jnp.float32) * 0.0
+    m0 = zeros_like_q[..., :1] - jnp.inf
+    l0 = zeros_like_q[..., :1]
+    acc0 = zeros_like_q
 
     def step(carry, _):
         k_blk, v_blk, m, l, acc = carry
@@ -77,7 +81,7 @@ def make_ring_cross_view_attention(mesh, axis_name: str = "dp"):
     sharded on S over ``axis_name``; drop-in replacement for dense
     cross-view attention on a mesh."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(None, axis_name, None, None)
 
@@ -86,7 +90,6 @@ def make_ring_cross_view_attention(mesh, axis_name: str = "dp"):
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
     )
     def attn(q, k, v):
         return ring_attention(q, k, v, axis_name)
