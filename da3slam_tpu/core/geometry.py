@@ -103,6 +103,37 @@ def project_points(
     return jnp.stack([u, v], axis=-1), z
 
 
+def normalize_pixel_tracks(
+    tracks: jax.Array, hw: tuple[int, int], mode: str = "minus_one_to_one"
+) -> jax.Array:
+    """Normalise pixel-coordinate tracks ``[..., 2]`` to a canonical range
+    (the vendored VGGT track normalisation, src/vggt/utils/geometry.py:293-323).
+
+    mode: "minus_one_to_one" (align_corners-style [-1, 1]) or "zero_to_one".
+    """
+    H, W = hw
+    size = jnp.asarray([W - 1.0, H - 1.0], tracks.dtype)
+    unit = tracks / size
+    if mode == "zero_to_one":
+        return unit
+    if mode == "minus_one_to_one":
+        return unit * 2.0 - 1.0
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def denormalize_pixel_tracks(
+    tracks: jax.Array, hw: tuple[int, int], mode: str = "minus_one_to_one"
+) -> jax.Array:
+    """Inverse of :func:`normalize_pixel_tracks`."""
+    H, W = hw
+    size = jnp.asarray([W - 1.0, H - 1.0], tracks.dtype)
+    if mode == "zero_to_one":
+        return tracks * size
+    if mode == "minus_one_to_one":
+        return (tracks + 1.0) * 0.5 * size
+    raise ValueError(f"unknown mode {mode!r}")
+
+
 def depth_scale_ratio(
     depth_prev: jax.Array,
     depth_cur: jax.Array,

@@ -86,3 +86,58 @@ class TestOrbaxCheckpoint:
         a = jax.tree.leaves(state.params)[0]
         b = jax.tree.leaves(restored.params)[0]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestBatchViewer:
+    def test_prediction_adapter(self):
+        from da3slam_tpu.models.da3 import Prediction
+        from da3slam_tpu.viz.batch_viewer import prediction_to_viewer_dict
+
+        pred = Prediction(
+            processed_images=np.zeros((2, 8, 8, 3), np.uint8),
+            depth=np.ones((2, 8, 8), np.float32),
+            conf=np.ones((2, 8, 8), np.float32),
+            extrinsics=np.tile(np.eye(4, dtype=np.float32)[:3], (2, 1, 1)),
+            intrinsics=np.tile(np.eye(3, dtype=np.float32), (2, 1, 1)),
+        )
+        d = prediction_to_viewer_dict(pred)
+        assert set(d) == {"images", "depth", "conf", "extrinsics", "intrinsics"}
+        # global extrinsics override
+        g = pred.extrinsics.copy()
+        g[:, 0, 3] = 7.0
+        d2 = prediction_to_viewer_dict(pred, g)
+        assert (d2["extrinsics"][:, 0, 3] == 7.0).all()
+
+    def test_show_prediction_headless(self):
+        from da3slam_tpu.models.da3 import Prediction
+        from da3slam_tpu.viz.batch_viewer import show_prediction
+
+        pred = Prediction(
+            processed_images=np.zeros((1, 8, 8, 3), np.uint8),
+            depth=np.ones((1, 8, 8), np.float32),
+            conf=np.ones((1, 8, 8), np.float32),
+            extrinsics=np.eye(4, dtype=np.float32)[None, :3],
+            intrinsics=np.eye(3, dtype=np.float32)[None],
+        )
+        assert show_prediction(pred) is None  # viser absent → headless
+
+
+class TestTrackNormalization:
+    def test_roundtrip(self):
+        import jax.numpy as jnp
+
+        from da3slam_tpu.core.geometry import (
+            denormalize_pixel_tracks,
+            normalize_pixel_tracks,
+        )
+
+        rng = np.random.default_rng(0)
+        tracks = jnp.asarray(rng.uniform(0, 63, (10, 5, 2)), jnp.float32)
+        for mode in ("minus_one_to_one", "zero_to_one"):
+            n = normalize_pixel_tracks(tracks, (48, 64), mode)
+            back = denormalize_pixel_tracks(n, (48, 64), mode)
+            np.testing.assert_allclose(np.asarray(back), np.asarray(tracks), atol=1e-4)
+        # corners map to the range ends
+        corners = jnp.asarray([[0.0, 0.0], [63.0, 47.0]])
+        n = normalize_pixel_tracks(corners, (48, 64))
+        np.testing.assert_allclose(np.asarray(n), [[-1, -1], [1, 1]], atol=1e-6)
