@@ -22,8 +22,10 @@ def upper_bound_shape(h: int, w: int, process_res: int = 504, patch: int = 14) -
     (SURVEY.md §6: "process_res 504 (snapped; 518×518 typical)").
     """
     scale = process_res / max(h, w)
-    th = max(int(round(h * scale / patch)), 1) * patch
-    tw = max(int(round(w * scale / patch)), 1) * patch
+    # floor-snap: rounding up could exceed process_res when it is not a
+    # patch multiple, violating the documented upper bound
+    th = max(int(h * scale) // patch, 1) * patch
+    tw = max(int(w * scale) // patch, 1) * patch
     return th, tw
 
 

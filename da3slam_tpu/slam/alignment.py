@@ -63,23 +63,33 @@ class ChunkAlignment(NamedTuple):
     inlier_rmse: jax.Array
 
 
-def chain_extrinsics(E_local: jax.Array, E0_global: jax.Array) -> jax.Array:
+def chain_extrinsics(
+    E_local: jax.Array, E_anchor_global: jax.Array, anchor_idx=0
+) -> jax.Array:
     """Chain chunk-local w2c extrinsics onto a global anchor.
 
-    ``E_i_global = (E_i_local ∘ E_{i-1}_local^{-1}) ∘ E_{i-1}_global`` with
-    ``E_0_global`` given — the reference's sequential loop
-    (align_geometry_single.py:241-249) as an associative prefix scan.
+    The reference chains sequentially,
+    ``E_i_global = (E_i_local ∘ E_{i-1}_local^{-1}) ∘ E_{i-1}_global``
+    (align_geometry_single.py:241-249); that product telescopes to the
+    closed form used here:
+
+      ``E_i_global = E_i_local ∘ E_anchor_local^{-1} ∘ E_anchor_global``
+
+    which is one batched compose instead of a scan, and works for an anchor
+    at any frame index (needed when the overlap frame is not frame 0 — e.g.
+    overlap_size > 1, or the re-anchored tail window).
 
     Args:
-      E_local:   ``[N, 3, 4]`` chunk-local w2c
-      E0_global: ``[3, 4]`` global w2c of frame 0
+      E_local:         ``[N, 3, 4]`` chunk-local w2c
+      E_anchor_global: ``[3, 4]`` global w2c of the anchor frame
+      anchor_idx:      index of the anchor frame within the chunk (may be a
+                       traced scalar)
     """
-    # relative transforms c_{i-1} -> c_i, i = 1..N-1
-    rel = se3_compose(E_local[1:], se3_inverse(E_local[:-1]))  # [N-1, 3, 4]
-    # prefix products P_i = rel_i ∘ rel_{i-1} ∘ ... ∘ rel_1
-    prefix = jax.lax.associative_scan(lambda a, b: se3_compose(b, a), rel)
-    chained = se3_compose(prefix, E0_global[None])  # [N-1, 3, 4]
-    return jnp.concatenate([E0_global[None], chained], axis=0)
+    E_anchor_local = jax.lax.dynamic_index_in_dim(
+        E_local, anchor_idx, axis=0, keepdims=False
+    )
+    rel = se3_compose(E_local, se3_inverse(E_anchor_local)[None])
+    return se3_compose(rel, E_anchor_global[None])
 
 
 def align_chunk_single_overlap(
@@ -92,18 +102,34 @@ def align_chunk_single_overlap(
     cur_extrinsics: jax.Array,  # [N, 3, 4] chunk-local w2c
     prev_overlap_global: jax.Array,  # [3, 4] prev last frame's global w2c
     config: AlignmentConfig = AlignmentConfig(),
+    anchor_idx=0,
 ) -> ChunkAlignment:
-    """Single-frame-overlap chunk alignment (jittable with static config)."""
-    # 1) depth scale: prev(last) vs cur(first), conf-gated median ratio.
-    # Strided: the exact median needs a full device sort (O(n log^2 n)
-    # bitonic on TPU); the median over a stride-4 grid of ~16k samples is
-    # statistically identical for smooth depth maps and ~16x cheaper.
+    """Single-frame-overlap chunk alignment (jittable with static config).
+
+    ``anchor_idx`` is the index WITHIN the current chunk of the frame that
+    is physically the previous chunk's last frame: ``overlap_size - 1`` in
+    the steady state, larger for the re-anchored tail window
+    (slam/chunks.py keeps the tail full-size for static shapes, which
+    widens its overlap with the previous chunk).  May be a traced scalar.
+    """
+    idx = lambda arr: jax.lax.dynamic_index_in_dim(  # noqa: E731
+        arr, anchor_idx, axis=0, keepdims=False
+    )
+    cur_anchor_depth = idx(cur_depth)
+    cur_anchor_conf = idx(cur_conf)
+    cur_anchor_K = idx(cur_K)
+
+    # 1) depth scale: prev(last) vs cur(anchor) — the SAME physical frame —
+    # conf-gated median ratio.  Strided: the exact median needs a full
+    # device sort (O(n log^2 n) bitonic on TPU); the median over a stride-4
+    # grid of ~16k samples is statistically identical for smooth depth maps
+    # and ~16x cheaper.
     sst = max(int(config.icp_stride), 1)
     s_depth = depth_scale_ratio(
         prev_depth[::sst, ::sst],
-        cur_depth[0][::sst, ::sst],
+        cur_anchor_depth[::sst, ::sst],
         prev_conf[::sst, ::sst],
-        cur_conf[0][::sst, ::sst],
+        cur_anchor_conf[::sst, ::sst],
         conf_th=config.conf_threshold,
     )
     depth_scaled = cur_depth * s_depth
@@ -117,10 +143,11 @@ def align_chunk_single_overlap(
 
     # 2) overlap registration in camera coords (viewpoints nearly coincide)
     st = max(int(config.icp_stride), 1)
+    scaled_anchor_depth = cur_anchor_depth * s_depth
     tgt_map = backproject_depth(prev_depth, prev_K)  # prev last frame
-    src_map = backproject_depth(depth_scaled[0], cur_K[0])  # cur first frame
+    src_map = backproject_depth(scaled_anchor_depth, cur_anchor_K)  # cur anchor frame
     src_pts = src_map[::st, ::st].reshape(-1, 3)
-    src_valid = depth_scaled[0][::st, ::st].reshape(-1) > 1e-6
+    src_valid = scaled_anchor_depth[::st, ::st].reshape(-1) > 1e-6
     tgt_valid = prev_depth > 1e-6
 
     if config.method == "icp":
@@ -140,7 +167,8 @@ def align_chunk_single_overlap(
         # confidence-weighted IRLS
         tgt_pts = tgt_map[::st, ::st].reshape(-1, 3)
         w = jnp.sqrt(
-            prev_conf[::st, ::st].reshape(-1) * cur_conf[0][::st, ::st].reshape(-1)
+            prev_conf[::st, ::st].reshape(-1)
+            * cur_anchor_conf[::st, ::st].reshape(-1)
         )
         w = w * src_valid * tgt_valid[::st, ::st].reshape(-1)
         res = irls_sim3(
@@ -163,17 +191,19 @@ def align_chunk_single_overlap(
     else:
         raise ValueError(f"unknown alignment method {config.method!r}")
 
-    # 3) anchor: E0_global = T^{-1} ∘ E_prev_global  (w2c composition;
-    #    T maps cur-overlap camera coords into prev-overlap camera coords,
+    # 3) anchor: E_anchor_global = T^{-1} ∘ E_prev_global  (w2c composition;
+    #    T maps cur-anchor camera coords into prev-overlap camera coords,
     #    reference align_geometry_single.py:224-231).  The inverse is taken
     #    in Sim(3) so the with_scale=True path stays exact (for the SE(3)
     #    solver path s=1 and this reduces to the rigid inverse).
     Tinv = sim3_inverse(T)
     Tinv_mat = jnp.concatenate([Tinv.s * Tinv.R, Tinv.t[:, None]], axis=-1)
-    E0_global = se3_compose(Tinv_mat, prev_overlap_global)
+    E_anchor_global = se3_compose(Tinv_mat, prev_overlap_global)
 
-    # 4) chain the rest of the chunk
-    extrinsics_global = chain_extrinsics(cur_extrinsics, E0_global)
+    # 4) chain the rest of the chunk around the anchor frame
+    extrinsics_global = chain_extrinsics(
+        cur_extrinsics, E_anchor_global, anchor_idx
+    )
 
     return ChunkAlignment(
         extrinsics_global=extrinsics_global,

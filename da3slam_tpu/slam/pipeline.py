@@ -3,12 +3,18 @@
 The TPU-native re-expression of the reference's chunk loop (SURVEY.md §5.7,
 BASELINE north star): a ``jax.lax.scan`` over fixed-shape chunk windows whose
 carry holds the previous overlap frame's depth/conf/intrinsics and global
-pose — model forward, depth-scale, ICP and pose chaining all fuse into a
-single XLA executable, so the track-depth-align loop never leaves the device.
+pose — preprocessing, model forward, depth-scale, ICP and pose chaining all
+fuse into a single XLA executable, so the track-depth-align loop never
+leaves the device.
 
-The host only prepares the stacked window tensor (overlapping views of the
-frame array — cheap numpy stride tricks) and reads back the final stacked
-results.
+Memory layout: the device holds the sequence ONCE as uint8 frames; each scan
+step gathers its window's frames by index and normalises them on the fly
+(materialising all float windows up front would cost
+``chunk_size/(chunk_size-overlap) × 4``× the sequence size in HBM).
+
+The tail window is re-anchored to keep shapes static (slam/chunks.py), which
+widens its overlap with the previous window; the per-window ``anchor_idx``
+passed through the scan keeps the alignment pairing physically correct.
 """
 
 from __future__ import annotations
@@ -36,33 +42,46 @@ class PipelineOutput(NamedTuple):
     fitness: jax.Array  # [C]
 
 
-def make_windows(n_frames: int, chunk_size: int, overlap: int) -> np.ndarray:
-    """Window start indices → ``[C, chunk_size]`` gather indices."""
+def make_windows(
+    n_frames: int, chunk_size: int, overlap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Window gather indices ``[C, chunk_size]`` plus per-window anchor
+    indices ``[C]`` — the position within window k of the frame that is
+    window k-1's last frame (``overlap-1`` in steady state; larger for the
+    re-anchored tail)."""
     ranges = make_chunk_indices(n_frames, chunk_size, overlap)
-    return np.stack([np.arange(a, b) for a, b in ranges])
+    idx = np.stack([np.arange(a, b) for a, b in ranges])
+    anchors = np.zeros(len(ranges), np.int32)
+    for k in range(1, len(ranges)):
+        prev_last = ranges[k - 1][1] - 1
+        anchors[k] = prev_last - ranges[k][0]
+    return idx, anchors
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "align_config", "attn_impl", "dtype"),
+    static_argnames=("cfg", "align_config", "attn_impl", "dtype", "process_hw"),
 )
 def run_pipeline(
     params: Any,
-    windows: jax.Array,  # [C, N, H, W, 3] normalised images
+    frames: jax.Array,  # [T, H, W, 3] uint8 (or float) — device-resident once
+    window_idx: jax.Array,  # [C, N] int32
+    anchor_idx: jax.Array,  # [C] int32
     cfg: ModelConfig,
     align_config: AlignmentConfig = AlignmentConfig(),
     attn_impl: str = "auto",
     dtype=jnp.bfloat16,
+    process_hw: tuple[int, int] | None = None,
 ) -> PipelineOutput:
     """Scan the SLAM loop over all windows in one compiled program."""
+    hw = process_hw if process_hw is not None else (frames.shape[1], frames.shape[2])
 
-    def forward(chunk_images):
-        return forward_fn(params, chunk_images, cfg, ref_idx=0,
-                          attn_impl=attn_impl, dtype=dtype)
-
-    def chunk_step(carry, chunk_images):
-        prev_depth, prev_conf, prev_K, prev_E_global, is_first = carry
-        out = forward(chunk_images)
+    def chunk_step(carry, xs):
+        idx_row, a_idx, is_first = xs
+        prev_depth, prev_conf, prev_K, prev_E_global = carry
+        chunk_images = resize_normalize(jnp.take(frames, idx_row, axis=0), hw)
+        out = forward_fn(params, chunk_images, cfg, ref_idx=0,
+                         attn_impl=attn_impl, dtype=dtype)
 
         def align_branch(_):
             a = align_chunk_single_overlap(
@@ -75,6 +94,7 @@ def run_pipeline(
                 cur_extrinsics=out["extrinsics"],
                 prev_overlap_global=prev_E_global,
                 config=align_config,
+                anchor_idx=a_idx,
             )
             return a.extrinsics_global, a.depth_scaled, a.depth_scale, a.fitness
 
@@ -96,26 +116,28 @@ def run_pipeline(
             out["conf"][-1],
             out["intrinsics"][-1],
             ext_global[-1],
-            jnp.asarray(False),
         )
         emit = (depth, out["conf"], ext_global, out["intrinsics"], s, fitness)
         return new_carry, emit
 
-    C, N, H, W, _ = windows.shape
+    C = window_idx.shape[0]
+    H, W = hw
     init = (
         jnp.zeros((H, W), jnp.float32),
         jnp.zeros((H, W), jnp.float32),
         jnp.eye(3, dtype=jnp.float32),
         jnp.eye(4, dtype=jnp.float32)[:3],
-        jnp.asarray(True),
     )
-    _, (depth, conf, ext, K, s, fit) = jax.lax.scan(chunk_step, init, windows)
+    is_first = jnp.zeros(C, bool).at[0].set(True)
+    _, (depth, conf, ext, K, s, fit) = jax.lax.scan(
+        chunk_step, init, (window_idx, anchor_idx, is_first)
+    )
     return PipelineOutput(depth, conf, ext, K, s, fit)
 
 
 def run_streaming_slam(
     params: Any,
-    frames: np.ndarray,  # [T, H, W, 3] uint8
+    frames,  # [T, H, W, 3] uint8 (numpy or device array)
     cfg: ModelConfig,
     chunk_size: int = 16,
     overlap: int = 1,
@@ -124,14 +146,17 @@ def run_streaming_slam(
     attn_impl: str = "auto",
     dtype=jnp.bfloat16,
 ) -> PipelineOutput:
-    """Host convenience wrapper: window assembly + on-device preprocessing +
-    the scan pipeline."""
+    """Host convenience wrapper: window indexing + the scan pipeline."""
     T = frames.shape[0]
-    idx = make_windows(T, chunk_size, overlap)
-    x = jnp.asarray(frames)
-    if process_hw is not None:
-        x = resize_normalize(x, process_hw)
-    else:
-        x = resize_normalize(x, (frames.shape[1], frames.shape[2]))
-    windows = x[jnp.asarray(idx)]  # [C, N, H, W, 3]
-    return run_pipeline(params, windows, cfg, align_config, attn_impl, dtype)
+    idx, anchors = make_windows(T, chunk_size, overlap)
+    return run_pipeline(
+        params,
+        jnp.asarray(frames),
+        jnp.asarray(idx),
+        jnp.asarray(anchors),
+        cfg,
+        align_config,
+        attn_impl,
+        dtype,
+        process_hw,
+    )

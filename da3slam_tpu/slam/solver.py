@@ -45,16 +45,18 @@ class SLAMSolver:
         self.prev_chunk_prediction: Optional[Dict] = None
         self.prev_overlap_aligned_3x4: Optional[np.ndarray] = None
 
-        align_cfg = config.get("Align", {}) or {}
-        self.align_config = AlignmentConfig(
-            method=align_cfg.get("method", "icp"),
-            conf_threshold=align_cfg.get("conf_threshold", 0.2),
-            icp_threshold=align_cfg.get("icp_threshold", 0.1),
-            icp_max_iterations=align_cfg.get("icp_max_iterations", 50),
-            with_scale=align_cfg.get("with_scale", False),
-        )
+        # config keys override the AlignmentConfig defaults; unknown keys are
+        # rejected by the dataclass constructor
+        align_cfg = dict(config.get("Align", {}) or {})
+        self.align_config = AlignmentConfig(**align_cfg)
         self._align_jit = jax.jit(
-            functools.partial(align_chunk_single_overlap, config=self.align_config)
+            functools.partial(
+                align_chunk_single_overlap,
+                config=self.align_config,
+                # the frame shared with the previous chunk's last frame sits
+                # at index overlap_size-1 of the current chunk
+                anchor_idx=self.overlap_size - 1,
+            )
         )
 
         self.model = model if model is not None else self._load_model()

@@ -129,10 +129,14 @@ class DA3Streaming:
         d = self.result_aligned_dir if aligned else self.result_unaligned_dir
         return dict(np.load(d / f"chunk_{chunk_idx}.npz"))
 
-    def align_2pcds(self, prev: dict, cur: dict) -> Sim3:
+    def align_2pcds(self, prev: dict, cur: dict, overlap: int | None = None) -> Sim3:
         """Confidence-weighted Sim(3) from the world-coord overlap point maps
-        (da3_streaming.py:322-364 semantics).  Returns cur→prev."""
-        o = self.overlap
+        (da3_streaming.py:322-364 semantics).  Returns cur→prev.
+
+        ``overlap`` is the ACTUAL number of shared frames — the re-anchored
+        tail chunk shares more than ``self.overlap`` with its predecessor,
+        and pairing must stay pixelwise on the same physical frames."""
+        o = self.overlap if overlap is None else overlap
         pts_prev = backproject_depth(
             jnp.asarray(prev["depth"][-o:]),
             jnp.asarray(prev["intrinsics"][-o:]),
@@ -214,7 +218,8 @@ class DA3Streaming:
             print(f"[pass1] chunk {k + 1}/{len(self.chunk_ranges)}")
             cur = self.process_single_chunk(rng, k)
             if prev is not None:
-                self.sim3_list.append(self.align_2pcds(prev, cur))
+                actual_overlap = self.chunk_ranges[k - 1][1] - rng[0]
+                self.sim3_list.append(self.align_2pcds(prev, cur, actual_overlap))
             prev = cur
 
         if self.loop_enable and self.loop_detector is not None:

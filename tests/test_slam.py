@@ -116,6 +116,24 @@ class TestSLAMEndToEnd:
         gt = gt_c2w(poses)
         assert ate_rmse(c2w_est, gt) < 1e-2
 
+    def test_multi_frame_overlap(self, tmp_path):
+        """overlap_size > 1: the shared frame is cur[overlap-1], not cur[0]
+        — the aligner must anchor on the physically matching frame."""
+        cfg = {
+            "Model": {"chunk_size": 5, "overlap_size": 2, "keyframe_interval": 1,
+                      "sleep_between_chunk": 0},
+            "Align": {"icp_max_iterations": 25},
+        }
+        poses = make_trajectory(11)  # chunks [0-5),[3-8),[6-11): exact tiling
+        model = FakeDA3(poses, chunk_scales=[1.0, 1.25, 0.85])
+        image_dir = make_fake_image_dir(tmp_path, 11)
+        solver = SLAMSolver(image_dir, cfg, model=model, viewer=None)
+        solver.run()
+        c2w_est, _ = solver.trajectory()
+        gt = gt_c2w(poses)
+        assert len(c2w_est) == len(gt)
+        assert ate_rmse(c2w_est, gt) < 1e-2
+
     def test_robust_to_depth_noise(self, tmp_path):
         solver, poses = self.run_solver(
             tmp_path, chunk_scales=[1.0, 1.3, 0.8], depth_noise=0.01

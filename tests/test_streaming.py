@@ -172,6 +172,23 @@ class TestStreamingEndToEnd:
         s.close()
         assert not (out / "_tmp_results_unaligned").exists()
 
+    def test_reanchored_tail_aligns_correct_frames(self, tmp_path):
+        """13 frames / chunk 5 / overlap 2 → the tail chunk (8,13) shares 3
+        frames with its predecessor (6,11); pairing must use the actual
+        overlap or the Sim3 registers non-corresponding pixels."""
+        n = 13
+        poses = make_trajectory(n)
+        model = FakeDA3(poses, chunk_scales=[1.0, 1.2, 0.9, 1.1])
+        image_dir = make_fake_image_dir(tmp_path, n)
+        out = tmp_path / "out13"
+        s = DA3Streaming(image_dir, str(out), self.CONFIG, model=model)
+        s.run()
+        from da3slam_tpu.inout.trajectory import load_camera_poses
+
+        c2w = load_camera_poses(out / "camera_poses.txt")
+        assert ate_rmse(c2w, gt_c2w(poses)) < 0.05
+        s.close()
+
     def test_empty_dir_raises(self, tmp_path):
         d = tmp_path / "none"
         d.mkdir()
