@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from da3slam_tpu.core.transforms import se3_inverse
+from da3slam_tpu.core.transforms import highest_precision, se3_inverse
 
 
 def pixel_grid(H: int, W: int, dtype=jnp.float32) -> jax.Array:
@@ -43,6 +43,7 @@ def _invert_intrinsics(K: jax.Array) -> jax.Array:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+@highest_precision
 def backproject_depth(
     depth: jax.Array,
     K: jax.Array,
@@ -72,6 +73,7 @@ def backproject_depth(
     return jnp.einsum("...ij,...hwj->...hwi", Rw, cam) + tw[..., None, None, :]
 
 
+@highest_precision
 def project_points(
     points: jax.Array,
     K: jax.Array,

@@ -12,10 +12,29 @@ inside ``jit`` / ``vmap`` / ``scan``.  No data-dependent control flow.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+
+def highest_precision(fn):
+    """Trace ``fn`` with full-f32 matmul precision.
+
+    TPU f32 matmuls default to bf16 inputs — harmless inside the network,
+    catastrophic for pose math: rotation chains and registration solves
+    accumulate 1e-2-level errors into garbage trajectories.  Every
+    geometry/registration entry point wears this decorator; the model
+    forward deliberately does not (bf16 is the point there).
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 class Sim3(NamedTuple):

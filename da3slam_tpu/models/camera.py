@@ -17,7 +17,12 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from da3slam_tpu.core.transforms import quat_to_rotmat, se3_compose, se3_inverse
+from da3slam_tpu.core.transforms import (
+    highest_precision,
+    quat_to_rotmat,
+    se3_compose,
+    se3_inverse,
+)
 from da3slam_tpu.models.config import ModelConfig
 
 Params = Any
@@ -41,6 +46,7 @@ def init_camera_head(key: jax.Array, cfg: ModelConfig) -> Params:
     }
 
 
+@highest_precision
 def pose_from_rays(
     rays: jax.Array,
     K: jax.Array,
@@ -135,6 +141,7 @@ def ref_view_index(n_views: int, strategy: str) -> int:
     raise ValueError(f"unknown ref_view_strategy {strategy!r}")
 
 
+@highest_precision
 def apply_camera_head(
     params: Params,
     camera_tokens: jax.Array,

@@ -26,6 +26,9 @@ class ModelConfig:
     # within each view.
     cross_view_interval: int = 2
     layerscale_init: float = 1e-5
+    # rematerialize each block's activations in the backward pass (training
+    # memory ∝ sqrt instead of linear in depth; for the large/giant tiers)
+    remat: bool = False
     # DPT head
     dpt_layers: tuple[int, ...] = (2, 5, 8, 11)  # blocks tapped for the head
     dpt_dim: int = 128

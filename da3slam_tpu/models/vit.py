@@ -187,9 +187,14 @@ def encode(
 
     taps: list[jax.Array] = []
     tap_set = set(cfg.dpt_layers)
+    block_fn = _block
+    if cfg.remat:
+        # recompute block activations in the backward pass (trade FLOPs for
+        # HBM when training the large/giant tiers)
+        block_fn = jax.checkpoint(_block, static_argnums=(2, 3, 4, 5))
     for i, bp in enumerate(params["blocks"]):
         cross = (i % cfg.cross_view_interval) == (cfg.cross_view_interval - 1)
-        x = _block(bp, x, cfg.num_heads, cross, attn_impl, cross_attn_impl)
+        x = block_fn(bp, x, cfg.num_heads, cross, attn_impl, cross_attn_impl)
         if i in tap_set:
             taps.append(x)
 

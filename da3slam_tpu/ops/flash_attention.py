@@ -44,6 +44,9 @@ def _flash_kernel(
 
     q = q_ref[0]  # [bq, D]
     k = k_ref[0]  # [bk, D]
+    # log2(e) is folded into `scale` by the caller: softmax runs in base-2
+    # (exp lowers to exp2+mul on the VPU; base-2 skips the mul on every
+    # score element)
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -59,8 +62,8 @@ def _flash_kernel(
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
     m_new = jnp.maximum(m_prev, m_cur)
 
-    alpha = jnp.exp(m_prev - m_new)  # rescale of old accumulator
-    p = jnp.exp(s - m_new)  # [bq, bk]
+    alpha = jnp.exp2(m_prev - m_new)  # rescale of old accumulator
+    p = jnp.exp2(s - m_new)  # [bq, bk]
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
@@ -95,7 +98,7 @@ def flash_attention(
     masked, padded query rows are sliced off.
     """
     B, S, H, D = q.shape
-    scale = 1.0 / (D**0.5)
+    scale = 1.4426950408889634 / (D**0.5)  # log2(e)/sqrt(D): base-2 softmax
 
     bq = min(block_q, _round_up(S, 128))
     bk = min(block_k, _round_up(S, 128))

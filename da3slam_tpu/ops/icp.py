@@ -25,7 +25,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from da3slam_tpu.core.transforms import Sim3, sim3_compose, orthonormalize_rotation
+from da3slam_tpu.core.transforms import (
+    Sim3,
+    highest_precision,
+    orthonormalize_rotation,
+    sim3_compose,
+)
 
 
 class ICPResult(NamedTuple):
@@ -78,6 +83,7 @@ def bilinear_gather(point_map: jax.Array, uv: jax.Array) -> tuple[jax.Array, jax
     return top * (1 - fv) + bot * fv, in_bounds
 
 
+@highest_precision
 def icp_point_to_point(
     src_points: jax.Array,
     tgt_point_map: jax.Array,

@@ -26,6 +26,7 @@ import numpy as np
 
 from da3slam_tpu.core.transforms import (
     Sim3,
+    highest_precision,
     sim3_compose,
     sim3_inverse,
     so3_exp,
@@ -51,6 +52,7 @@ def _sim3_to_params(T: Sim3) -> jax.Array:
     )
 
 
+@highest_precision
 def _edge_residuals(x: jax.Array, edges: PoseGraphEdges) -> jax.Array:
     nodes = _params_to_sim3(x)
     Si = Sim3(nodes.s[edges.i], nodes.R[edges.i], nodes.t[edges.i])

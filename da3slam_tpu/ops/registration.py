@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from da3slam_tpu.core.transforms import Sim3
+from da3slam_tpu.core.transforms import Sim3, highest_precision
 
 
 class RegistrationResult(NamedTuple):
@@ -27,6 +27,7 @@ class RegistrationResult(NamedTuple):
     n_effective: jax.Array  # effective number of contributing points
 
 
+@highest_precision
 def weighted_umeyama(
     src: jax.Array,
     dst: jax.Array,
@@ -82,6 +83,7 @@ def huber_weights(residuals: jax.Array, delta: float = 1.0) -> jax.Array:
     return jnp.where(abs_r <= delta, 1.0, delta / jnp.maximum(abs_r, 1e-12))
 
 
+@highest_precision
 def irls_sim3(
     src: jax.Array,
     dst: jax.Array,

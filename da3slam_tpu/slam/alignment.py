@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from da3slam_tpu.core.geometry import backproject_depth, depth_scale_ratio
 from da3slam_tpu.core.transforms import (
     Sim3,
+    highest_precision,
     se3_compose,
     se3_inverse,
     sim3_inverse,
@@ -92,6 +93,7 @@ def chain_extrinsics(
     return se3_compose(rel, E_anchor_global[None])
 
 
+@highest_precision
 def align_chunk_single_overlap(
     prev_depth: jax.Array,  # [H, W] prev chunk's LAST frame
     prev_conf: jax.Array,

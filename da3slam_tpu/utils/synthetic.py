@@ -1,0 +1,135 @@
+"""Synthetic ground-truth world + contract model for pipeline validation.
+
+Used by the test suite (SURVEY.md §4's "fake-model fixture") and by
+``examples/synthetic_slam_demo.py``: validates the entire geometry stack
+(scale estimation, registration, chaining, export, evaluation) end-to-end
+with known ground truth and no trained weights.
+
+Emits predictions honoring the §2.5 tensor contract from an *exact*
+synthetic world: a corner room of three planes, whose depth from any camera
+pose has a closed form.  Per-chunk scale ambiguity (the real model's
+metric-ambiguous output) is simulated with a per-chunk multiplier that the
+SLAM stitcher must undo.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+PLANES = [
+    # (normal, offset): plane n·p = c in world coordinates
+    (np.array([1.0, 0.0, 0.0]), 2.0),
+    (np.array([0.0, 1.0, 0.0]), 2.0),
+    (np.array([0.0, 0.0, 1.0]), 4.0),
+]
+
+
+def render_depth(E_w2c: np.ndarray, K: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    """Closed-form depth of the corner room from pose ``E_w2c`` ([3,4])."""
+    H, W = hw
+    R, t = E_w2c[:3, :3], E_w2c[:3, 3]
+    v, u = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    rays = np.stack([(u - K[0, 2]) / K[0, 0], (v - K[1, 2]) / K[1, 1], np.ones_like(u, float)], -1)
+    depth = np.full((H, W), np.inf)
+    Rt_t = R.T @ t
+    for n, c in PLANES:
+        denom = rays @ (R @ n)  # n^T R^T r
+        num = c + n @ Rt_t
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = num / denom
+        z = np.where(z > 0.05, z, np.inf)
+        depth = np.minimum(depth, z)
+    assert np.isfinite(depth).all(), "camera must face the corner"
+    return depth.astype(np.float32)
+
+
+def make_trajectory(n_frames: int, seed: int = 0) -> np.ndarray:
+    """Smooth w2c trajectory wiggling near the origin, looking at the corner."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        # small smooth rotation
+        ang = 0.08 * np.sin(2 * np.pi * s) + 0.03 * s
+        ax = np.array([0.3, 1.0, 0.1]) / np.linalg.norm([0.3, 1.0, 0.1])
+        Kx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
+        R = np.eye(3) + np.sin(ang) * Kx + (1 - np.cos(ang)) * (Kx @ Kx)
+        # camera center moving slowly
+        center = np.array([0.3 * s, -0.2 * s, 0.4 * s])
+        t = -R @ center
+        E = np.concatenate([R, t[:, None]], axis=1)
+        poses.append(E)
+    return np.stack(poses).astype(np.float64)
+
+
+class SyntheticDA3:
+    """Emits the §2.5 contract from ground-truth geometry.
+
+    ``image`` arguments must be paths whose stem is the global frame index
+    (e.g. ``000007.jpg``).
+    """
+
+    def __init__(
+        self,
+        poses_w2c: np.ndarray,  # [T, 3, 4] ground-truth w2c
+        hw: tuple[int, int] = (48, 64),
+        fx: float = 60.0,
+        chunk_scales: list[float] | None = None,
+        depth_noise: float = 0.0,
+        seed: int = 0,
+    ):
+        self.poses = poses_w2c
+        self.hw = hw
+        H, W = hw
+        self.K = np.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]], np.float32)
+        self.chunk_scales = chunk_scales
+        self.depth_noise = depth_noise
+        self.rng = np.random.default_rng(seed)
+        self.call_count = 0
+
+    def inference(self, image, **kwargs):
+        from da3slam_tpu.models.da3 import Prediction
+
+        idxs = [int(Path(p).stem) for p in image]
+        n = len(idxs)
+        H, W = self.hw
+
+        depth = np.stack([render_depth(self.poses[i], self.K, self.hw) for i in idxs])
+        if self.depth_noise > 0:
+            depth = depth * (1 + self.rng.normal(size=depth.shape).astype(np.float32) * self.depth_noise)
+
+        # chunk-local extrinsics: E_i ∘ E_ref^{-1} with ref = first frame
+        E_ref = np.eye(4)
+        E_ref[:3] = self.poses[idxs[0]]
+        E_ref_inv = np.linalg.inv(E_ref)
+        ext_local = np.zeros((n, 3, 4), np.float32)
+        for j, i in enumerate(idxs):
+            E = np.eye(4)
+            E[:3] = self.poses[i]
+            ext_local[j] = (E @ E_ref_inv)[:3]
+
+        # per-chunk metric-scale ambiguity
+        if self.chunk_scales is not None:
+            s = self.chunk_scales[min(self.call_count, len(self.chunk_scales) - 1)]
+            depth = depth * s
+            ext_local[:, :, 3] *= s
+
+        self.call_count += 1
+        return Prediction(
+            processed_images=np.zeros((n, H, W, 3), np.uint8),
+            depth=depth.astype(np.float32),
+            conf=np.full((n, H, W), 1.5, np.float32),
+            extrinsics=ext_local,
+            intrinsics=np.tile(self.K[None], (n, 1, 1)).astype(np.float32),
+        )
+
+
+def make_synthetic_image_dir(tmp_path, n_frames: int) -> str:
+    d = Path(tmp_path) / "frames"
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(n_frames):
+        (d / f"{i:06d}.jpg").touch()
+    return str(d)
