@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_ply", default=None, help="write fused cloud here")
     p.add_argument("--process_res", type=int, default=504)
     p.add_argument("--headless", action="store_true")
+    p.add_argument("--debug_color", action="store_true",
+                   help="tint each chunk's points a distinct color (the "
+                        "reference's chunk-alignment eyeball check)")
     return p
 
 
@@ -64,6 +67,8 @@ def main(argv=None) -> None:
     prev_ext_global = prev.extrinsics.astype(np.float64)
     all_pts, all_cols = [], []
 
+    chunk_counter = [0]
+
     def accumulate(pred, ext_global):
         pts = np.asarray(
             backproject_depth(
@@ -72,8 +77,14 @@ def main(argv=None) -> None:
             )
         )
         keep = pred.conf >= 1.0
+        colors = pred.processed_images
+        if args.debug_color:
+            from da3slam_tpu.viz.debug import apply_chunk_color_to_images_batch
+
+            colors = apply_chunk_color_to_images_batch(colors, chunk_counter[0])
+        chunk_counter[0] += 1
         all_pts.append(pts[keep])
-        all_cols.append(pred.processed_images[keep])
+        all_cols.append(colors[keep])
         if viewer is not None:
             for i in (0, len(pred.depth) - 1):  # first/last frame per chunk
                 viewer.add_frame(pred.processed_images[i], pred.depth[i],

@@ -1,0 +1,158 @@
+"""SLAMViewer logic tests against a mock viser module.
+
+viser isn't installed in this environment; a structural mock lets the
+viewer's real logic run (backprojection, validity masks, percentile
+filtering, frame filters, frustum poses) and catches API drift.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+
+class _GuiHandle:
+    def __init__(self, value):
+        self.value = value
+        self.options = ["all"]
+
+    def on_update(self, fn):
+        self._cb = fn
+        return fn
+
+    def trigger(self):
+        self._cb(None)
+
+
+class _Cloud:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+        self.removed = False
+
+    def remove(self):
+        self.removed = True
+
+
+class _Frustum(_Cloud):
+    def on_click(self, fn):
+        self._cb = fn
+        return fn
+
+
+class _Gui:
+    def __init__(self):
+        self.handles = {}
+
+    def add_slider(self, name, min, max, step, initial_value):
+        h = _GuiHandle(initial_value)
+        self.handles[name] = h
+        return h
+
+    def add_dropdown(self, name, options, initial_value):
+        h = _GuiHandle(initial_value)
+        h.options = options
+        self.handles[name] = h
+        return h
+
+
+class _Scene:
+    def __init__(self):
+        self.clouds = []
+        self.frusta = []
+
+    def add_point_cloud(self, name, points, colors, point_size):
+        c = _Cloud(name=name, points=points, colors=colors, point_size=point_size)
+        self.clouds.append(c)
+        return c
+
+    def add_camera_frustum(self, name, fov, aspect, scale, wxyz, position, image):
+        f = _Frustum(name=name, fov=fov, aspect=aspect, wxyz=wxyz,
+                     position=position, image=image)
+        self.frusta.append(f)
+        return f
+
+
+class _Server:
+    def __init__(self, host, port):
+        self.host, self.port = host, port
+        self.gui = _Gui()
+        self.scene = _Scene()
+
+    def get_clients(self):
+        return {}
+
+
+@pytest.fixture()
+def viewer_cls():
+    fake = types.ModuleType("viser")
+    fake.ViserServer = _Server
+    sys.modules["viser"] = fake
+    sys.modules.pop("da3slam_tpu.viz.viewer", None)
+    try:
+        from da3slam_tpu.viz.viewer import SLAMViewer
+
+        yield SLAMViewer
+    finally:
+        sys.modules.pop("viser", None)
+        sys.modules.pop("da3slam_tpu.viz.viewer", None)
+
+
+def frame_inputs(seed=0, H=24, W=32):
+    rng = np.random.default_rng(seed)
+    image = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    depth = rng.uniform(0.5, 3.0, (H, W)).astype(np.float32)
+    conf = rng.uniform(1.0, 3.0, (H, W)).astype(np.float32)
+    E = np.eye(4, dtype=np.float32)[:3]
+    K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32)
+    return image, depth, conf, E, K
+
+
+class TestSLAMViewer:
+    def test_add_frame_builds_cloud_and_frustum(self, viewer_cls):
+        v = viewer_cls(port=9999, point_stride=2)
+        img, depth, conf, E, K = frame_inputs()
+        v.add_frame(img, depth, conf, E, K)
+        assert len(v.server.scene.frusta) == 1
+        assert len(v.server.scene.clouds) == 1
+        cloud = v.server.scene.clouds[-1]
+        assert cloud.points.shape[1] == 3
+        assert cloud.points.shape[0] > 0
+        # identity pose → frustum at origin
+        np.testing.assert_allclose(v.server.scene.frusta[0].position, 0, atol=1e-6)
+
+    def test_depth_validity_filter(self, viewer_cls):
+        v = viewer_cls(port=9999, point_stride=1, min_depth=0.1, max_depth=50)
+        img, depth, conf, E, K = frame_inputs()
+        depth[:12] = 0.0  # invalid half
+        v.add_frame(img, depth, conf, E, K)
+        assert v.server.scene.clouds[-1].points.shape[0] == 12 * 32
+
+    def test_conf_percentile_slider(self, viewer_cls):
+        v = viewer_cls(port=9999, point_stride=1)
+        img, depth, conf, E, K = frame_inputs()
+        v.add_frame(img, depth, conf, E, K)
+        full = v.server.scene.clouds[-1].points.shape[0]
+        v.gui_conf_percentile.value = 50
+        v.gui_conf_percentile.trigger()
+        half = v.server.scene.clouds[-1].points.shape[0]
+        assert half == pytest.approx(full / 2, rel=0.1)
+
+    def test_frame_filter(self, viewer_cls):
+        v = viewer_cls(port=9999, point_stride=2)
+        for i in range(3):
+            img, depth, conf, E, K = frame_inputs(seed=i)
+            v.add_frame(img, depth, conf, E, K)
+        all_pts = v.server.scene.clouds[-1].points.shape[0]
+        v.gui_frame_filter.value = "1"
+        v.gui_frame_filter.trigger()
+        one = v.server.scene.clouds[-1].points.shape[0]
+        assert one < all_pts
+        assert v.gui_frame_filter.options == ["all", "0", "1", "2"]
+
+    def test_chw_float_image_accepted(self, viewer_cls):
+        v = viewer_cls(port=9999)
+        img, depth, conf, E, K = frame_inputs()
+        chw = img.transpose(2, 0, 1) / 255.0
+        v.add_frame(chw, depth, conf, E, K)
+        assert len(v.server.scene.clouds) == 1
