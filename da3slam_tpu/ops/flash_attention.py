@@ -1,19 +1,23 @@
-"""Flash attention as a Pallas TPU kernel.
+"""Flash attention as Pallas TPU kernels (forward + custom VJP).
 
 The cross-view attention over a 16-frame chunk is the framework's dominant
 FLOP consumer (SURVEY.md §3.1: the hot kernel is O((N·H/14·W/14)²) attention
-inside ``model.inference``).  This kernel streams K/V blocks through VMEM
+inside ``model.inference``).  These kernels stream K/V blocks through VMEM
 with the online-softmax recurrence so the [S, S] score matrix never
 materialises in HBM:
 
-  grid = (batch·heads, q_blocks, k_blocks)   — k is the innermost
-  (sequential on TPU) axis; running max / denominator / output accumulate in
-  VMEM scratch across the k iterations and the output block is written once
-  on the last k step (the double-buffered pipelining of q/k/v blocks is
-  handled by the Pallas grid machinery).
+  forward: grid = (batch·heads, q_blocks, k_blocks) — k innermost
+  (sequential on TPU); running max / denominator / output accumulate in VMEM
+  scratch and the output block + its log-sum-exp are written on the last k
+  step.
 
-Inference-path kernel: no custom VJP — the training step uses the XLA
-attention path (``attn_impl="xla"``), which XLA differentiates.
+  backward (flash-attention-2 style): the forward's log-sum-exp lets every
+  probability be recomputed exactly per block — a dq kernel accumulating
+  over k blocks and a dk/dv kernel accumulating over q blocks; the softmax
+  Jacobian needs only the per-row ``D = rowsum(dO ∘ O)``.
+
+Softmax runs in base 2 (log2(e) folded into the scale): exp lowers to
+exp2+mul on the VPU, so base-2 skips a multiply per score element.
 """
 
 from __future__ import annotations
@@ -26,12 +30,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
 
 
-def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref,
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
-    *, scale: float, block_k: int, seq_k: int,
+    *, scale2: float, block_k: int, seq_k: int,
 ):
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -44,14 +53,11 @@ def _flash_kernel(
 
     q = q_ref[0]  # [bq, D]
     k = k_ref[0]  # [bk, D]
-    # log2(e) is folded into `scale` by the caller: softmax runs in base-2
-    # (exp lowers to exp2+mul on the VPU; base-2 skips the mul on every
-    # score element)
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # [bq, bk]
+    ) * scale2  # [bq, bk] base-2 logits
 
     # mask padded key columns (sequence padded up to a block multiple)
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -59,11 +65,11 @@ def _flash_kernel(
 
     m_prev = m_scr[:, :1]  # [bq, 1]
     l_prev = l_scr[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
 
-    alpha = jnp.exp2(m_prev - m_new)  # rescale of old accumulator
-    p = jnp.exp2(s - m_new)  # [bq, bk]
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
@@ -76,12 +82,229 @@ def _flash_kernel(
 
     @pl.when(ki == n_k - 1)
     def _finalize():
-        denom = jnp.maximum(l_scr[:, :1], 1e-30)
-        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        l_fin = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0] = (acc_scr[:] / l_fin).astype(o_ref.dtype)
+        # base-2 log-sum-exp per row: softmax_ij = exp2(s2_ij - lse2_i)
+        # (stored lane-padded [bq, 8]: TPU block shapes need aligned minor dims)
+        lse_ref[0] = jnp.broadcast_to(m_scr[:, :1] + jnp.log2(l_fin), lse_ref.shape[1:])
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _fold(x, S, St, B, H, D):
+    x = jnp.swapaxes(x, 1, 2).reshape(B * H, S, D)
+    if St != S:
+        x = jnp.pad(x, ((0, 0), (0, St - S), (0, 0)))
+    return x
+
+
+def _flash_forward(q, k, v, block_q, block_k):
+    B, S, H, D = q.shape
+    scale2 = LOG2E / (D**0.5)
+    bq = min(block_q, _round_up(S, 128))
+    bk = min(block_k, _round_up(S, 128))
+    Sq = _round_up(S, bq)
+    Sk = _round_up(S, bk)
+
+    qf = _fold(q, S, Sq, B, H, D)
+    kf = _fold(k, S, Sk, B, H, D)
+    vf = _fold(v, S, Sk, B, H, D)
+
+    grid = (B * H, Sq // bq, Sk // bk)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale2=scale2, block_k=bk, seq_k=S),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bq, 8), lambda b, qi, ki: (b, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Sq, 8), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),  # running max (lane-replicated)
+            pltpu.VMEM((bq, 128), jnp.float32),  # running denom
+            pltpu.VMEM((bq, D), jnp.float32),  # output accumulator
+        ],
+    )(qf, kf, vf)
+
+    o = jnp.swapaxes(out[:, :S, :].reshape(B, H, S, D), 1, 2)
+    return o, (qf, kf, vf, out, lse)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, do_ref, v_ref, lse_ref, dvec_ref, dq_ref,
+    dq_scr,
+    *, scale2: float, scale: float, block_k: int, seq_k: int,
+):
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale2
+    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    p = jnp.where(col < seq_k, jnp.exp2(s - lse_ref[0][:, :1]), 0.0)  # softmax
+
+    dov = jax.lax.dot_general(  # dO · Vᵀ : [bq, bk]
+        do_ref[0], v_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dz = p * (dov - dvec_ref[0][:, :1])  # softmax Jacobian (natural log)
+    dq_scr[:] += jax.lax.dot_general(
+        dz.astype(k.dtype), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(ki == n_k - 1)
+    def _fin():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, do_ref, v_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale2: float, scale: float, block_k: int, seq_k: int,
+):
+    qi = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]  # [bq, D]
+    k = k_ref[0]  # [bk, D]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale2  # [bq, bk]
+    col = pl.program_id(1) * k.shape[0] + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, 1
+    )
+    p = jnp.where(col < seq_k, jnp.exp2(s - lse_ref[0][:, :1]), 0.0)
+    # (padded q rows carry dO = 0 and D = 0, so they contribute nothing)
+
+    do = do_ref[0]  # [bq, D]
+    dv_scr[:] += jax.lax.dot_general(  # pᵀ · dO : [bk, D]
+        p.astype(do.dtype), do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dov = jax.lax.dot_general(
+        do, v_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dz = p * (dov - dvec_ref[0][:, :1])
+    dk_scr[:] += jax.lax.dot_general(  # dzᵀ · q : [bk, D]
+        dz.astype(q.dtype), q,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(qi == n_q - 1)
+    def _fin():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(block_q, block_k, res, g):
+    qf, kf, vf, of, lse = res
+    BH, Sq, D = qf.shape
+    Sk = kf.shape[1]
+    # infer original (B, S, H) from the cotangent
+    B, S, H, _ = g.shape
+    scale = 1.0 / (D**0.5)
+    scale2 = LOG2E / (D**0.5)
+    bq = min(block_q, Sq)
+    bk = min(block_k, Sk)
+
+    dof = _fold(g.astype(qf.dtype), S, Sq, B, H, D)
+    # D_i = rowsum(dO ∘ O): tiny elementwise pass outside the kernels
+    # (lane-padded to [BH, Sq, 8] like lse, for TPU block alignment)
+    dvec = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
+    dvec = jnp.tile(dvec[..., None], (1, 1, 8))
+
+    qspec = pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0))
+    kspec = pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0))
+    rowq = pl.BlockSpec((1, bq, 8), lambda b, qi, ki: (b, qi, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale2=scale2, scale=scale, block_k=bk, seq_k=S
+        ),
+        grid=(BH, Sq // bq, Sk // bk),
+        in_specs=[qspec, kspec, qspec, kspec, rowq, rowq],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), qf.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+    )(qf, kf, dof, vf, lse, dvec)
+
+    # dk/dv: swap the roles — grid iterates k blocks, accumulates over q
+    qspec2 = pl.BlockSpec((1, bq, D), lambda b, ki, qi: (b, qi, 0))
+    kspec2 = pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0))
+    rowq2 = pl.BlockSpec((1, bq, 8), lambda b, ki, qi: (b, qi, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale2=scale2, scale=scale, block_k=bk, seq_k=S
+        ),
+        grid=(BH, Sk // bk, Sq // bq),
+        in_specs=[qspec2, kspec2, qspec2, kspec2, rowq2, rowq2],
+        out_specs=(kspec2, kspec2),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, Sk, D), kf.dtype),
+            jax.ShapeDtypeStruct((BH, Sk, D), vf.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+    )(qf, kf, dof, vf, lse, dvec)
+
+    def unfold(x, St):
+        return jnp.swapaxes(x[:, :S, :].reshape(B, H, S, D), 1, 2)
+
+    return unfold(dq, Sq), unfold(dk, Sk), unfold(dv, Sk)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_attention(q, k, v, block_q, block_k):
+    o, _ = _flash_forward(q, k, v, block_q, block_k)
+    return o
+
+
+def _fwd_rule(q, k, v, block_q, block_k):
+    return _flash_forward(q, k, v, block_q, block_k)
+
+
+_flash_attention.defvjp(_fwd_rule, _flash_backward)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
@@ -94,44 +317,8 @@ def flash_attention(
 ) -> jax.Array:
     """Softmax(QKᵀ/√d)·V for ``[B, S, H, D]`` inputs (full attention).
 
-    Shapes are padded internally to block multiples; padded key columns are
-    masked, padded query rows are sliced off.
+    Differentiable (flash backward kernels via custom VJP).  Shapes are
+    padded internally to block multiples; padded key columns are masked,
+    padded query rows are sliced off.
     """
-    B, S, H, D = q.shape
-    scale = 1.4426950408889634 / (D**0.5)  # log2(e)/sqrt(D): base-2 softmax
-
-    bq = min(block_q, _round_up(S, 128))
-    bk = min(block_k, _round_up(S, 128))
-    Sq = _round_up(S, bq)
-    Sk = _round_up(S, bk)
-
-    def fold(x, St):
-        x = jnp.swapaxes(x, 1, 2).reshape(B * H, S, D)
-        if St != S:
-            x = jnp.pad(x, ((0, 0), (0, St - S), (0, 0)))
-        return x
-
-    qf = fold(q, Sq)
-    kf = fold(k, Sk)
-    vf = fold(v, Sk)
-
-    grid = (B * H, Sq // bq, Sk // bk)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=bk, seq_k=S),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),  # running max (lane-replicated)
-            pltpu.VMEM((bq, 128), jnp.float32),  # running denom
-            pltpu.VMEM((bq, D), jnp.float32),  # output accumulator
-        ],
-    )(qf, kf, vf)
-
-    out = out[:, :S, :].reshape(B, H, S, D)
-    return jnp.swapaxes(out, 1, 2)
+    return _flash_attention(q, k, v, block_q, block_k)

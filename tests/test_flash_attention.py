@@ -22,13 +22,22 @@ def rand_qkv(rng, B, S, H, D, dtype=jnp.float32):
 
 # interpret mode: the kernel runs through the Pallas interpreter on CPU,
 # validating the exact program the TPU executes
-def flash_interp(q, k, v, **kw):
-    import functools
-    from unittest import mock
+import contextlib
+import functools
+from unittest import mock
+
+
+@contextlib.contextmanager
+def interpret_mode():
     from jax.experimental import pallas as pl
 
     orig = pl.pallas_call
     with mock.patch.object(pl, "pallas_call", functools.partial(orig, interpret=True)):
+        yield
+
+
+def flash_interp(q, k, v, **kw):
+    with interpret_mode():
         return flash_attention.__wrapped__(q, k, v, **kw)
 
 
@@ -67,3 +76,42 @@ class TestFlashAttention:
         assert np.isfinite(np.asarray(out)).all()
         ref = xla_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+class TestFlashBackward:
+    @pytest.mark.parametrize("S", [128, 256, 300])
+    def test_grads_match_xla(self, S):
+        rng = np.random.default_rng(4)
+        q, k, v = rand_qkv(rng, 2, S, 3, 64)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_interp(q, k, v, block_q=128, block_k=128) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(xla_attention(q, k, v) ** 2)
+
+        with interpret_mode():
+            g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gx), atol=3e-4,
+                err_msg=f"d{name} mismatch at S={S}",
+            )
+
+    def test_value_and_grad_jit(self):
+        rng = np.random.default_rng(5)
+        q, k, v = rand_qkv(rng, 1, 128, 2, 64)
+
+        def loss(q):
+            return jnp.sum(flash_interp(q, q, q, block_q=128, block_k=128))
+
+        with interpret_mode():
+            val, g = jax.value_and_grad(loss)(q)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(g)).all()
+        ref_val, ref_g = jax.value_and_grad(
+            lambda q: jnp.sum(xla_attention(q, q, q))
+        )(q)
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref_g), atol=3e-4)
