@@ -137,7 +137,9 @@ def _flash_forward(q, k, v, block_q, block_k):
     )(qf, kf, vf)
 
     o = jnp.swapaxes(out[:, :S, :].reshape(B, H, S, D), 1, 2)
-    return o, (qf, kf, vf, out, lse)
+    # residuals hold the primal `o` (aliases the returned value) rather than
+    # the folded copy, so no duplicate output-sized buffer lives to backward
+    return o, (qf, kf, vf, o, lse)
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +187,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     q_ref, k_ref, do_ref, v_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
     dk_scr, dv_scr,
-    *, scale2: float, scale: float, block_k: int, seq_k: int,
+    *, scale2: float, scale: float, seq_k: int,
 ):
     qi = pl.program_id(2)
     n_q = pl.num_programs(2)
@@ -232,7 +234,7 @@ def _bwd_dkv_kernel(
 
 
 def _flash_backward(block_q, block_k, res, g):
-    qf, kf, vf, of, lse = res
+    qf, kf, vf, o, lse = res
     BH, Sq, D = qf.shape
     Sk = kf.shape[1]
     # infer original (B, S, H) from the cotangent
@@ -243,6 +245,7 @@ def _flash_backward(block_q, block_k, res, g):
     bk = min(block_k, Sk)
 
     dof = _fold(g.astype(qf.dtype), S, Sq, B, H, D)
+    of = _fold(o, S, Sq, B, H, D)
     # D_i = rowsum(dO ∘ O): tiny elementwise pass outside the kernels
     # (lane-padded to [BH, Sq, 8] like lse, for TPU block alignment)
     dvec = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
@@ -268,9 +271,7 @@ def _flash_backward(block_q, block_k, res, g):
     kspec2 = pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0))
     rowq2 = pl.BlockSpec((1, bq, 8), lambda b, ki, qi: (b, qi, 0))
     dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_dkv_kernel, scale2=scale2, scale=scale, block_k=bk, seq_k=S
-        ),
+        functools.partial(_bwd_dkv_kernel, scale2=scale2, scale=scale, seq_k=S),
         grid=(BH, Sk // bk, Sq // bq),
         in_specs=[qspec2, kspec2, qspec2, kspec2, rowq2, rowq2],
         out_specs=(kspec2, kspec2),
@@ -284,10 +285,10 @@ def _flash_backward(block_q, block_k, res, g):
         ],
     )(qf, kf, dof, vf, lse, dvec)
 
-    def unfold(x, St):
+    def unfold(x):
         return jnp.swapaxes(x[:, :S, :].reshape(B, H, S, D), 1, 2)
 
-    return unfold(dq, Sq), unfold(dk, Sk), unfold(dv, Sk)
+    return unfold(dq), unfold(dk), unfold(dv)
 
 
 # ---------------------------------------------------------------------------

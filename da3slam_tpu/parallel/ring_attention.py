@@ -69,10 +69,13 @@ def ring_attention(
         v_nxt = jax.lax.ppermute(v_blk, axis_name, perm)
         return (k_nxt, v_nxt, m, l, acc), None
 
-    (k_fin, v_fin, m, l, acc), _ = jax.lax.scan(
-        step, (k, v, m0, l0, acc0), None, length=n_dev
+    # n_dev - 1 rotate-and-update steps, then fold the final block without
+    # rotating (the last ppermute's output would be discarded — a wasted
+    # ICI hop per call that XLA cannot DCE inside the scan)
+    (k_last, v_last, m, l, acc), _ = jax.lax.scan(
+        step, (k, v, m0, l0, acc0), None, length=n_dev - 1
     )
-    del k_fin, v_fin
+    m, l, acc = _block_update(q, k_last, v_last, m, l, acc, scale)
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 

@@ -14,9 +14,6 @@ parallel/train.py shards the batch-of-windows axis instead).
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -51,7 +48,7 @@ def make_sharded_forward(
 
     def fwd(params, images):
         sharded = shard_map(
-            functools.partial(local_encode),
+            local_encode,
             mesh=mesh,
             in_specs=(P(), view_spec),
             out_specs=(view_spec, view_spec, view_spec, view_spec),
