@@ -49,8 +49,14 @@ class DA3Streaming:
         self.overlap_s = self.overlap // 2
         self.overlap_e = self.overlap - self.overlap_s
         self.loop_enable = config.get("Loop", {}).get("enable", mcfg.get("loop_enable", False))
+        # joint loop re-inference may use fewer frames per chunk to bound the
+        # 2-chunk attention cost (reference Model.loop_chunk_size)
+        self.loop_chunk_size = mcfg.get("loop_chunk_size", self.chunk_size)
         self.delete_temp_files = mcfg.get("delete_temp_files", True)
         self.resume = mcfg.get("resume", False)
+        # per-frame NPZ export of image/depth/conf/intrinsics (reference
+        # Model.save_depth_conf_result, da3_streaming.py:207-251)
+        self.save_depth_conf_result = mcfg.get("save_depth_conf_result", False)
         pcfg = config.get("Pointcloud_Save", mcfg.get("Pointcloud_Save", {})) or {}
         self.conf_threshold_coef = pcfg.get("conf_threshold_coef", 1.0)
         self.sample_ratio = pcfg.get("sample_ratio", 0.3)
@@ -118,6 +124,15 @@ class DA3Streaming:
         np.savez(
             self.result_unaligned_dir / f"chunk_{chunk_idx}.npz", **chunk
         )
+        if self.save_depth_conf_result:
+            frame_dir = self.output_dir / "frames"
+            frame_dir.mkdir(exist_ok=True)
+            for i, idx in enumerate(range(chunk_range[0], chunk_range[1])):
+                np.savez(
+                    frame_dir / f"frame_{idx:06d}.npz",
+                    image=chunk["images"][i], depth=chunk["depth"][i],
+                    conf=chunk["conf"][i], intrinsics=chunk["intrinsics"][i],
+                )
         self.all_camera_poses.append((chunk_range, chunk["extrinsics"]))
         self.all_camera_intrinsics.append(chunk["intrinsics"])
         if self.loop_detector is not None:
@@ -175,6 +190,14 @@ class DA3Streaming:
             seen.add((a, b))
             chunk_a, chunk_b = self.load_chunk(a), self.load_chunk(b)
             ra, rb = self.chunk_ranges[a], self.chunk_ranges[b]
+            lcs = self.loop_chunk_size
+            if lcs < self.chunk_size:
+                # bound the joint 2-chunk attention: keep the first lcs frames
+                # of each chunk (and slice the stored chunks to match)
+                ra = (ra[0], ra[0] + lcs)
+                rb = (rb[0], rb[0] + lcs)
+                chunk_a = {k_: v_[:lcs] for k_, v_ in chunk_a.items()}
+                chunk_b = {k_: v_[:lcs] for k_, v_ in chunk_b.items()}
             joint_paths = self.img_list[ra[0] : ra[1]] + self.img_list[rb[0] : rb[1]]
             # loop pairs use their own reference-view strategy (the reference's
             # loop-specific ref_view_strategy, da3_streaming.py:263-273)

@@ -196,3 +196,16 @@ class TestStreamingEndToEnd:
                          model=FakeDA3(make_trajectory(3)))
         with pytest.raises(ValueError, match="DIR EMPTY"):
             s.run()
+
+    def test_save_depth_conf_result(self, tmp_path):
+        n = 8
+        cfg = {"Model": dict(self.CONFIG["Model"], save_depth_conf_result=True,
+                             chunk_size=4, overlap=1)}
+        poses = make_trajectory(n)
+        s = DA3Streaming(make_fake_image_dir(tmp_path, n), str(tmp_path / "o"),
+                         cfg, model=FakeDA3(poses))
+        s.run()
+        frames = sorted((tmp_path / "o" / "frames").glob("frame_*.npz"))
+        assert len(frames) == n  # every frame exported once
+        z = np.load(frames[0])
+        assert set(z.keys()) == {"image", "depth", "conf", "intrinsics"}
