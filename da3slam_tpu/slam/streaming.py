@@ -57,6 +57,9 @@ class DA3Streaming:
         # per-frame NPZ export of image/depth/conf/intrinsics (reference
         # Model.save_depth_conf_result, da3_streaming.py:207-251)
         self.save_depth_conf_result = mcfg.get("save_depth_conf_result", False)
+        # export the raw + accumulated Sim(3) chains for offline debugging
+        # (reference Model.save_debug_info)
+        self.save_debug_info = mcfg.get("save_debug_info", False)
         pcfg = config.get("Pointcloud_Save", mcfg.get("Pointcloud_Save", {})) or {}
         self.conf_threshold_coef = pcfg.get("conf_threshold_coef", 1.0)
         self.sample_ratio = pcfg.get("sample_ratio", 0.3)
@@ -282,6 +285,19 @@ class DA3Streaming:
             self._save_confident_pointcloud(k, pts_aligned, chunk)
 
         self.save_camera_poses()
+        if self.save_debug_info:
+            np.savez(
+                self.output_dir / "sim3_debug.npz",
+                relative_s=np.asarray([float(T.s) for T in self.sim3_list]),
+                relative_R=np.stack([np.asarray(T.R) for T in self.sim3_list])
+                if self.sim3_list else np.zeros((0, 3, 3)),
+                relative_t=np.stack([np.asarray(T.t) for T in self.sim3_list])
+                if self.sim3_list else np.zeros((0, 3)),
+                accumulated_s=np.asarray(accumulated.s),
+                accumulated_R=np.asarray(accumulated.R),
+                accumulated_t=np.asarray(accumulated.t),
+                n_loop_edges=len(self.loop_edges),
+            )
         n = merge_ply_files(self.pcd_dir, self.output_dir / "combined_pcd.ply")
         print(f"merged cloud: {n} points → {self.output_dir / 'combined_pcd.ply'}")
 

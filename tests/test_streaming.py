@@ -209,3 +209,17 @@ class TestStreamingEndToEnd:
         assert len(frames) == n  # every frame exported once
         z = np.load(frames[0])
         assert set(z.keys()) == {"image", "depth", "conf", "intrinsics"}
+
+    def test_save_debug_info(self, tmp_path):
+        n = 8
+        cfg = {"Model": dict(self.CONFIG["Model"], save_debug_info=True,
+                             chunk_size=4, overlap=1)}
+        poses = make_trajectory(n)
+        s = DA3Streaming(make_fake_image_dir(tmp_path, n), str(tmp_path / "dbg"),
+                         cfg, model=FakeDA3(poses, chunk_scales=[1.0, 1.2]))
+        s.run()
+        z = np.load(tmp_path / "dbg" / "sim3_debug.npz")
+        n_chunks = len(s.chunk_ranges)
+        assert z["relative_s"].shape == (n_chunks - 1,)
+        assert z["accumulated_R"].shape == (n_chunks, 3, 3)
+        assert int(z["n_loop_edges"]) == 0
