@@ -33,6 +33,8 @@ def _pad4(data: bytes, pad: bytes = b"\x00") -> bytes:
 def write_glb_pointcloud(path: str | Path, points: np.ndarray, colors: np.ndarray | None = None) -> None:
     points = np.ascontiguousarray(points, np.float32).reshape(-1, 3)
     n = points.shape[0]
+    bounds_min = points.min(0).tolist() if n else [0.0, 0.0, 0.0]
+    bounds_max = points.max(0).tolist() if n else [0.0, 0.0, 0.0]
     buffers = [points.tobytes()]
     accessors = [
         {
@@ -40,8 +42,8 @@ def write_glb_pointcloud(path: str | Path, points: np.ndarray, colors: np.ndarra
             "componentType": 5126,  # FLOAT
             "count": n,
             "type": "VEC3",
-            "min": points.min(0).tolist(),
-            "max": points.max(0).tolist(),
+            "min": bounds_min,
+            "max": bounds_max,
         }
     ]
     views = [{"buffer": 0, "byteOffset": 0, "byteLength": len(buffers[0])}]

@@ -27,7 +27,10 @@ def write_ply(
     if has_color:
         colors = np.asarray(colors).reshape(-1, 3)
         if colors.dtype != np.uint8:
-            colors = np.clip(colors * 255.0 if colors.max() <= 1.0 else colors, 0, 255).astype(np.uint8)
+            # float colors: heuristic 0-1 vs 0-255 by data range (ambiguous for
+            # all-dark 0-255 floats — pass uint8 to be explicit)
+            scale = 255.0 if (colors.size and colors.max() <= 1.0) else 1.0
+            colors = np.clip(colors * scale, 0, 255).astype(np.uint8)
 
     if binary:
         # fast path: the C++ writer streams straight from the buffers

@@ -22,6 +22,7 @@ class ImagePrefetcher:
         self.lookahead = lookahead
         self._cache: OrderedDict[str, np.ndarray] = OrderedDict()
         self._cursor = 0  # consumer position (frames before this can be evicted)
+        self._next = 0  # worker position (frames below this are decoded)
         self._cond = threading.Condition()
         self._stop = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -48,16 +49,36 @@ class ImagePrefetcher:
             frame = self._decode(path)
             with self._cond:
                 self._cache[path] = frame
+                self._next = i + 1  # worker progress: frames < _next are done
                 self._cond.notify_all()
             i += 1
 
     def get_batch(self, paths: list[str]) -> np.ndarray:
-        """Fetch decoded frames (waiting for the background thread or
-        decoding inline for paths outside the prefetch window)."""
+        """Fetch decoded frames: waits for the background thread when the
+        frame is inside the prefetch window (avoids double-decoding the
+        frames the worker is just finishing), decodes inline otherwise."""
         out = []
         for p in paths:
+            # wait only for frames AHEAD of the cursor within the lookahead
+            # window — those the worker is guaranteed to reach; evicted
+            # (behind-cursor) or out-of-window frames decode inline
+            try:
+                idx = self.paths.index(p)
+            except ValueError:
+                idx = -1
             with self._cond:
                 frame = self._cache.get(p)
+                # the worker WILL produce idx iff it hasn't passed it yet and
+                # it lies inside the lookahead window; anything else (evicted,
+                # out of window, unknown path) decodes inline
+                while (
+                    frame is None
+                    and self._next <= idx < self._cursor + self.lookahead
+                    and not self._stop
+                    and self._thread.is_alive()
+                ):
+                    self._cond.wait(timeout=0.1)
+                    frame = self._cache.get(p)
             out.append(frame if frame is not None else self._decode(p))
         # advance the cursor and evict consumed frames
         with self._cond:

@@ -29,12 +29,16 @@ def save_camera_poses(
     output_dir: str | Path,
     c2w_poses: np.ndarray,
     intrinsics: np.ndarray,
+    chunk_indices: np.ndarray | None = None,
 ) -> None:
     """Write camera_poses.txt / intrinsic.txt / camera_poses.ply.
 
     Args:
-      c2w_poses:  ``[N, 4, 4]`` camera-to-world
-      intrinsics: ``[N, 3, 3]``
+      c2w_poses:     ``[N, 4, 4]`` camera-to-world
+      intrinsics:    ``[N, 3, 3]``
+      chunk_indices: optional ``[N]`` int — colors each camera center by its
+                     chunk in the PLY (the reference's per-chunk coloring,
+                     da3_streaming.py:797-817)
     """
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -48,7 +52,10 @@ def save_camera_poses(
             f.write(f"{K[0, 0]} {K[1, 1]} {K[0, 2]} {K[1, 2]}\n")
 
     centers = np.asarray(c2w_poses)[:, :3, 3]
-    colors = np.broadcast_to(CHUNK_COLORS[0], centers.shape).copy()
+    if chunk_indices is not None:
+        colors = CHUNK_COLORS[np.asarray(chunk_indices) % len(CHUNK_COLORS)]
+    else:
+        colors = np.broadcast_to(CHUNK_COLORS[0], centers.shape).copy()
     write_ply(out / "camera_poses.ply", centers, colors, binary=False)
 
 

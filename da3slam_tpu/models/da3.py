@@ -204,11 +204,11 @@ class DepthAnything3:
         ext = out["extrinsics"]
         depth = out["depth"]
         if extrinsics is not None:
+            # conditioning adopts the provided poses; with scale alignment the
+            # depth is rescaled so its metric matches their translations
             ext_in = jnp.asarray(extrinsics, jnp.float32)
             if align_to_input_ext_scale:
-                s = _pose_scale_ratio(ext_in, ext)
-                depth = depth * s
-                ext = jnp.concatenate([ext[..., :3], ext[..., 3:] * s], axis=-1)
+                depth = depth * _pose_scale_ratio(ext_in, ext)
             ext = ext_in
 
         pred = Prediction(

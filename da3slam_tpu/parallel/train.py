@@ -36,8 +36,10 @@ def depth_loss(pred_depth, pred_conf, gt_depth, eps=1e-6):
     diff = (jnp.log(pred_depth + eps) - jnp.log(gt_depth + eps)) * valid
     n = jnp.maximum(valid.sum(), 1.0)
     silog = (diff**2).sum() / n - 0.5 * (diff.sum() / n) ** 2
-    # conf head learns to predict its own error (weighted residual - log conf)
-    conf_term = (pred_conf * diff**2 - jnp.log(pred_conf)).sum() / n
+    # conf head learns to predict its own error (weighted residual - log conf).
+    # The -log(conf) reward must be masked too: on invalid pixels diff is 0,
+    # so an unmasked term would push conf up without bound.
+    conf_term = ((pred_conf * diff**2 - jnp.log(pred_conf)) * valid).sum() / n
     return silog + 0.1 * conf_term
 
 

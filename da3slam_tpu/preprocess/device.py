@@ -201,7 +201,9 @@ def crop_square(
     reference's offset + boundary clamps (preprocess_crop.py:31-57).
     Static output shape (ratio/offsets are Python values)."""
     N, H, W, _ = images.shape
-    S = int(H * ratio)
+    # the reference sizes the square from the height alone; portrait inputs
+    # (H*ratio > W) must clamp to the width or the slice is unsatisfiable
+    S = min(int(H * ratio), W)
     left = (W - S) // 2 + x_offset
     top = int(H * (1 - ratio) / 2) + y_offset
     left = min(max(left, 0), W - S)

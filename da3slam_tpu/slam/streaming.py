@@ -320,6 +320,7 @@ class DA3Streaming:
         n_frames = len(self.img_list)
         all_poses = [None] * n_frames
         all_intr = [None] * n_frames
+        chunk_of_frame = np.zeros(n_frames, np.int32)
 
         for k, (rng, ext) in enumerate(self.all_camera_poses):
             S = np.asarray(
@@ -338,6 +339,7 @@ class DA3Streaming:
                 c2w[:3, :3] /= s  # normalise rotation (da3_streaming.py:772)
                 all_poses[idx] = c2w
                 all_intr[idx] = self.all_camera_intrinsics[k][local_i]
+                chunk_of_frame[idx] = k
 
         # frames not covered (possible with the re-anchored tail) fall back to
         # their nearest covered neighbor
@@ -350,7 +352,8 @@ class DA3Streaming:
             else:
                 last, last_K = all_poses[idx], all_intr[idx]
 
-        save_camera_poses(self.output_dir, np.stack(all_poses), np.stack(all_intr))
+        save_camera_poses(self.output_dir, np.stack(all_poses),
+                          np.stack(all_intr), chunk_indices=chunk_of_frame)
 
     # -- public API --------------------------------------------------------
     def run(self) -> None:

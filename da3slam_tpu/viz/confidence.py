@@ -16,6 +16,8 @@ def conf_stats(conf: np.ndarray, n_bins: int = 5) -> dict:
     """Equal-width bin histogram over [min, max] (main_conf.py:21-37)."""
     conf = np.asarray(conf)
     lo, hi = float(conf.min()), float(conf.max())
+    if hi <= lo:  # constant map (e.g. fully sky-masked): keep bins monotone
+        hi = lo + 1e-6
     bins = np.linspace(lo, hi, n_bins + 1)
     counts, _ = np.histogram(conf, bins=bins)
     return {
