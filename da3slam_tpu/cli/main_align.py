@@ -3,7 +3,11 @@
 Splits the sequence into chunks, aligns each to the previous via the chosen
 method, and reports per-chunk diagnostics; optionally renders the fused
 cloud into the viewer and exports a merged PLY.  The reference hard-coded
-its paths (main_align.py:71-72); here they are flags.
+its paths (main_align.py:71-72); here they are flags.  Note a deliberate
+behavioral FIX vs the reference: its method dispatch ran ICP and then
+unconditionally overwrote the result with the KD-tree Umeyama variant
+regardless of the requested method (align_geometry.py:182-183); here
+``--method`` selects exactly one registration path.
 """
 
 from __future__ import annotations

@@ -187,3 +187,22 @@ class TestAlignmentMethods:
         np.testing.assert_allclose(
             np.asarray(out.extrinsics_global[0]), pred_a.extrinsics[-1], atol=2e-3
         )
+
+
+class TestSim3Mode:
+    def test_full_sim3_alignment_recovers_trajectory(self, tmp_path):
+        """Align.with_scale=true: registration solves the full Sim(3) (the
+        unification of the reference's two scale mechanisms, SURVEY §7.3.4);
+        must coexist with the depth prescale and still recover the GT."""
+        cfg = {
+            "Model": {"chunk_size": 5, "overlap_size": 1, "keyframe_interval": 1,
+                      "sleep_between_chunk": 0},
+            "Align": {"with_scale": True, "icp_max_iterations": 20},
+        }
+        poses = make_trajectory(13)
+        model = FakeDA3(poses, chunk_scales=[1.0, 1.35, 0.75])
+        solver = SLAMSolver(make_fake_image_dir(tmp_path, 13), cfg,
+                            model=model, viewer=None)
+        solver.run()
+        c2w_est, _ = solver.trajectory()
+        assert ate_rmse(c2w_est, gt_c2w(poses)[: len(c2w_est)]) < 1e-2
