@@ -72,9 +72,16 @@ def run_pipeline(
     attn_impl: str = "auto",
     dtype=jnp.bfloat16,
     process_hw: tuple[int, int] | None = None,
-) -> PipelineOutput:
-    """Scan the SLAM loop over all windows in one compiled program."""
+    carry=None,
+) -> tuple[PipelineOutput, tuple]:
+    """Scan the SLAM loop over all windows in one compiled program.
+
+    ``carry`` threads segmented runs: pass the carry returned by the previous
+    segment to continue a sequence (None starts fresh — the first window then
+    defines the global frame).  Returns ``(outputs, final_carry)``.
+    """
     hw = process_hw if process_hw is not None else (frames.shape[1], frames.shape[2])
+    fresh_start = carry is None
 
     def chunk_step(carry, xs):
         idx_row, a_idx, is_first = xs
@@ -122,17 +129,18 @@ def run_pipeline(
 
     C = window_idx.shape[0]
     H, W = hw
-    init = (
-        jnp.zeros((H, W), jnp.float32),
-        jnp.zeros((H, W), jnp.float32),
-        jnp.eye(3, dtype=jnp.float32),
-        jnp.eye(4, dtype=jnp.float32)[:3],
+    if fresh_start:
+        carry = (
+            jnp.zeros((H, W), jnp.float32),
+            jnp.zeros((H, W), jnp.float32),
+            jnp.eye(3, dtype=jnp.float32),
+            jnp.eye(4, dtype=jnp.float32)[:3],
+        )
+    is_first = jnp.zeros(C, bool).at[0].set(fresh_start)
+    final_carry, (depth, conf, ext, K, s, fit) = jax.lax.scan(
+        chunk_step, carry, (window_idx, anchor_idx, is_first)
     )
-    is_first = jnp.zeros(C, bool).at[0].set(True)
-    _, (depth, conf, ext, K, s, fit) = jax.lax.scan(
-        chunk_step, init, (window_idx, anchor_idx, is_first)
-    )
-    return PipelineOutput(depth, conf, ext, K, s, fit)
+    return PipelineOutput(depth, conf, ext, K, s, fit), final_carry
 
 
 def run_streaming_slam(
@@ -145,18 +153,50 @@ def run_streaming_slam(
     align_config: AlignmentConfig = AlignmentConfig(),
     attn_impl: str = "auto",
     dtype=jnp.bfloat16,
+    segment_windows: int | None = None,
 ) -> PipelineOutput:
-    """Host convenience wrapper: window indexing + the scan pipeline."""
+    """Host convenience wrapper: window indexing + the scan pipeline.
+
+    ``segment_windows`` bounds device memory for arbitrarily long sequences:
+    the scan runs ``segment_windows`` windows at a time, uploading only each
+    segment's frame slice to HBM and threading the carry between segments —
+    results are identical to the single-scan path.
+    """
     T = frames.shape[0]
     idx, anchors = make_windows(T, chunk_size, overlap)
-    return run_pipeline(
-        params,
-        jnp.asarray(frames),
-        jnp.asarray(idx),
-        jnp.asarray(anchors),
-        cfg,
-        align_config,
-        attn_impl,
-        dtype,
-        process_hw,
-    )
+
+    if segment_windows is None or segment_windows >= idx.shape[0]:
+        out, _ = run_pipeline(
+            params,
+            jnp.asarray(frames),
+            jnp.asarray(idx),
+            jnp.asarray(anchors),
+            cfg,
+            align_config,
+            attn_impl,
+            dtype,
+            process_hw,
+        )
+        return out
+
+    frames = np.asarray(frames)
+    outputs = []
+    carry = None
+    for s0 in range(0, idx.shape[0], segment_windows):
+        seg_idx = idx[s0 : s0 + segment_windows]
+        seg_anchors = anchors[s0 : s0 + segment_windows]
+        f_lo, f_hi = int(seg_idx.min()), int(seg_idx.max()) + 1
+        out, carry = run_pipeline(
+            params,
+            jnp.asarray(frames[f_lo:f_hi]),  # only this segment's frames in HBM
+            jnp.asarray(seg_idx - f_lo),
+            jnp.asarray(seg_anchors),
+            cfg,
+            align_config,
+            attn_impl,
+            dtype,
+            process_hw,
+            carry=carry,
+        )
+        outputs.append(jax.tree.map(np.asarray, out))
+    return PipelineOutput(*[np.concatenate(parts) for parts in zip(*outputs)])

@@ -119,3 +119,29 @@ class TestScanPipeline:
         o2 = run_streaming_slam(model.params, frames, model.cfg, chunk_size=4,
                                 overlap=1, process_hw=(56, 70), dtype=jnp.float32)
         np.testing.assert_array_equal(np.asarray(o1.depth), np.asarray(o2.depth))
+
+
+class TestSegmentedPipeline:
+    def test_segmented_matches_single_scan(self):
+        """Segmenting the scan (bounded-HBM mode for unbounded sequences)
+        must be a pure execution-strategy change: outputs identical."""
+        model = DepthAnything3.from_pretrained("tiny")
+        rng = np.random.default_rng(0)
+        base = rng.integers(40, 200, size=(56, 70, 3))
+        frames = np.stack([
+            np.clip(np.roll(base, i * 2, axis=1) + rng.integers(0, 20, (56, 70, 3)), 0, 255)
+            for i in range(16)
+        ]).astype(np.uint8)
+
+        kw = dict(chunk_size=4, overlap=1, process_hw=(56, 70), dtype=jnp.float32)
+        full = run_streaming_slam(model.params, frames, model.cfg, **kw)
+        seg = run_streaming_slam(model.params, frames, model.cfg,
+                                 segment_windows=2, **kw)
+        np.testing.assert_allclose(np.asarray(full.depth), np.asarray(seg.depth),
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(full.extrinsics_global), np.asarray(seg.extrinsics_global),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(np.asarray(full.depth_scale),
+                                   np.asarray(seg.depth_scale), rtol=1e-5)
