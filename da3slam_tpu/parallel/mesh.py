@@ -26,6 +26,12 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh(n_devices={n_devices}) but only {len(devices)} "
+                f"devices are visible ({devices[0].platform}); a silently "
+                "truncated mesh would validate nothing"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if tp is None:

@@ -49,14 +49,10 @@ class SLAMSolver:
         # rejected by the dataclass constructor
         align_cfg = dict(config.get("Align", {}) or {})
         self.align_config = AlignmentConfig(**align_cfg)
+        # anchor_idx stays a traced argument so the re-anchored tail window
+        # (whose anchor sits deeper into the chunk) reuses this compilation
         self._align_jit = jax.jit(
-            functools.partial(
-                align_chunk_single_overlap,
-                config=self.align_config,
-                # the frame shared with the previous chunk's last frame sits
-                # at index overlap_size-1 of the current chunk
-                anchor_idx=self.overlap_size - 1,
-            )
+            functools.partial(align_chunk_single_overlap, config=self.align_config)
         )
 
         self.model = model if model is not None else self._load_model()
@@ -127,9 +123,17 @@ class SLAMSolver:
         }
 
     # -- alignment ---------------------------------------------------------
-    def process_chunk_alignment(self, prev: Dict, cur: Dict):
-        """Scale + register + chain: one jitted device call."""
+    def process_chunk_alignment(self, prev: Dict, cur: Dict, anchor_idx: int | None = None):
+        """Scale + register + chain: one jitted device call.
+
+        ``anchor_idx`` is the index within ``cur`` of the frame shared with
+        the previous chunk's last frame: ``overlap_size - 1`` in the steady
+        state, ``chunk_size - 1 - n_new`` for the re-anchored tail window.
+        """
+        if anchor_idx is None:
+            anchor_idx = self.overlap_size - 1
         out = self._align_jit(
+            anchor_idx=np.int32(anchor_idx),
             prev_depth=prev["depth"][-1],
             prev_conf=prev["conf"][-1],
             prev_K=prev["intrinsics"][-1],
@@ -151,7 +155,7 @@ class SLAMSolver:
         )
 
     # -- viewer ------------------------------------------------------------
-    def update_viewer(self, chunk_prediction: Dict) -> None:
+    def update_viewer(self, chunk_prediction: Dict, start: int = 0) -> None:
         if self.viewer is None:
             return
         ext_global = chunk_prediction.get("extrinsics_global")
@@ -159,7 +163,7 @@ class SLAMSolver:
             print("warn: no extrinsics_global; falling back to local extrinsics")
             ext_global = chunk_prediction["extrinsics"]
         n = len(chunk_prediction["image_paths"])
-        for i in range(n):
+        for i in range(start, n):
             self.viewer.add_frame(
                 image=chunk_prediction["processed_images"][i],
                 depth=chunk_prediction["depth"][i],
@@ -198,15 +202,80 @@ class SLAMSolver:
                 "image_paths": cur["image_paths"],
                 "extrinsics_global": cur["extrinsics_global"],
                 "intrinsics": cur["intrinsics"],
+                # leading frames duplicated from the previous chunk, for
+                # trajectory()/viewer dedup
+                "dedup_skip": 0 if self.chunk_count == 0 else self.overlap_size,
             }
         )
         with self.timer("viewer"):
-            self.update_viewer(cur)
+            self.update_viewer(cur, start=self.results[-1]["dedup_skip"])
         self.prev_chunk_prediction = cur
         self.update_buffer_after_chunk_processed()
         self.chunk_count += 1
         if self.sleep_between_chunk:
             time.sleep(self.sleep_between_chunk)
+
+    def _flush_tail(self, image_paths: List[str]) -> None:
+        """Process trailing keyframes that never filled a chunk.
+
+        The reference silently drops up to ``chunk_size - 1`` tail frames
+        (its loop only fires at ``chunk_size`` buffered paths,
+        solver.py:186-190, and never flushes); here the tail is processed as
+        a re-anchored full-size final window — the same semantics
+        ``make_chunk_indices`` (slam/chunks.py) gives the scan pipeline —
+        so every keyframe gets a global pose.
+        """
+        step = self.chunk_size - self.overlap_size
+        processed = (
+            0 if self.chunk_count == 0
+            else self.chunk_size + (self.chunk_count - 1) * step
+        )
+        n_new = len(image_paths) - processed
+        if n_new <= 0:
+            return
+
+        if self.chunk_count == 0:
+            # fewer frames than one chunk: run them all as chunk 0
+            chunk_paths = list(image_paths)
+            with self.timer("inference"):
+                cur = self.run_single_chunk_prediction(chunk_paths)
+            cur["extrinsics_global"] = cur["extrinsics"].astype(np.float64)
+            self.prev_overlap_aligned_3x4 = cur["extrinsics_global"][-1].astype(
+                np.float32
+            )
+            dedup_skip = 0
+        else:
+            # re-anchored window: the last chunk_size frames, so shapes match
+            # the steady-state compilation; the previous chunk's last frame
+            # sits at index chunk_size - 1 - n_new
+            chunk_paths = list(image_paths[-self.chunk_size:])
+            with self.timer("inference"):
+                cur = self.run_single_chunk_prediction(chunk_paths)
+            anchor_idx = self.chunk_size - 1 - n_new
+            with self.timer("align"):
+                s, _R, _t, fitness, rmse = self.process_chunk_alignment(
+                    self.prev_chunk_prediction, cur, anchor_idx=anchor_idx
+                )
+            print(
+                f"  tail chunk ({n_new} new frames): depth_scale={s:.4f} "
+                f"fitness={fitness:.4f} inlier_rmse={rmse:.5f}"
+            )
+            dedup_skip = self.chunk_size - n_new
+
+        self.results.append(
+            {
+                "chunk_idx": self.chunk_count,
+                "image_paths": chunk_paths,
+                "extrinsics_global": cur["extrinsics_global"],
+                "intrinsics": cur["intrinsics"],
+                "dedup_skip": dedup_skip,
+            }
+        )
+        with self.timer("viewer"):
+            self.update_viewer(cur, start=dedup_skip)
+        self.prev_chunk_prediction = cur
+        self.frame_buffer.clear()
+        self.chunk_count += 1
 
     def run(self) -> None:
         image_paths = load_image_paths(self.image_dir)
@@ -225,6 +294,7 @@ class SLAMSolver:
         try:
             for img_path in image_paths:
                 self.process_frame(img_path)
+            self._flush_tail(image_paths)
         finally:
             if self._prefetcher is not None:
                 self._prefetcher.close()
@@ -242,7 +312,7 @@ class SLAMSolver:
 
         poses, intrs = [], []
         for k, res in enumerate(self.results):
-            start = 0 if k == 0 else self.overlap_size
+            start = res.get("dedup_skip", 0 if k == 0 else self.overlap_size)
             for i in range(start, len(res["image_paths"])):
                 w2c = se3_to_4x4(jnp.asarray(res["extrinsics_global"][i], jnp.float32))
                 poses.append(np.asarray(se3_to_4x4(se3_inverse(w2c[:3]))))

@@ -85,3 +85,35 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(2)
+
+    @pytest.mark.slow
+    def test_dryrun_multichip_bare_subprocess(self):
+        """The driver calls the entry point bare (no conftest). Prove it is
+        self-sufficient: strip the conftest's XLA_FLAGS, keep the profile's
+        JAX_PLATFORMS pin, and require a real (4,2) mesh in the output."""
+        import os
+        import subprocess
+
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # conftest sets this; the driver won't
+        proc = subprocess.run(
+            [
+                "python",
+                "-c",
+                "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)",
+            ],
+            cwd="/root/repo",
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "mesh=(4, 2)" in proc.stdout
+        assert "sp ring-attention forward ok" in proc.stdout
+
+
+class TestMeshShortDeviceGuard:
+    def test_make_mesh_raises_on_too_few_devices(self):
+        with pytest.raises(ValueError, match="only"):
+            make_mesh(len(jax.devices()) + 1)

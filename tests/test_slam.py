@@ -142,6 +142,34 @@ class TestSLAMEndToEnd:
         gt = gt_c2w(poses)
         assert ate_rmse(c2w_est, gt) < 0.05
 
+    def test_tail_frames_flushed(self, tmp_path):
+        """n_frames not divisible by the step: the trailing frames that never
+        fill a chunk must still be processed (re-anchored tail window; the
+        reference drops them, solver.py:186-190)."""
+        # chunk 5, overlap 1 → step 4: chunks end at 5, 9, 13; 2 tail frames
+        solver, poses = self.run_solver(tmp_path, n_frames=15)
+        c2w_est, intrs = solver.trajectory()
+        gt = gt_c2w(poses)
+        assert len(c2w_est) == 15
+        assert len(intrs) == 15
+        assert ate_rmse(c2w_est, gt) < 5e-3
+
+    def test_tail_flush_with_chunk_scale(self, tmp_path):
+        """Tail window must absorb a fresh per-chunk scale like any chunk."""
+        solver, poses = self.run_solver(
+            tmp_path, n_frames=15, chunk_scales=[1.0, 1.4, 0.7, 1.2]
+        )
+        c2w_est, _ = solver.trajectory()
+        assert len(c2w_est) == 15
+        assert ate_rmse(c2w_est, gt_c2w(poses)) < 1e-2
+
+    def test_short_sequence_below_chunk_size(self, tmp_path):
+        """Fewer frames than one chunk: everything runs as a single chunk."""
+        solver, poses = self.run_solver(tmp_path, n_frames=3)
+        c2w_est, _ = solver.trajectory()
+        assert len(c2w_est) == 3
+        assert ate_rmse(c2w_est, gt_c2w(poses)) < 5e-3
+
     def test_empty_dir_is_noop(self, tmp_path):
         d = tmp_path / "empty"
         d.mkdir()
