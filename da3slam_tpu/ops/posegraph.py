@@ -53,7 +53,9 @@ def _sim3_to_params(T: Sim3) -> jax.Array:
 
 
 @highest_precision
-def _edge_residuals(x: jax.Array, edges: PoseGraphEdges) -> jax.Array:
+def _edge_residuals(
+    x: jax.Array, edges: PoseGraphEdges, huber_delta: float | None = None
+) -> jax.Array:
     nodes = _params_to_sim3(x)
     Si = Sim3(nodes.s[edges.i], nodes.R[edges.i], nodes.t[edges.i])
     Sj = Sim3(nodes.s[edges.j], nodes.R[edges.j], nodes.t[edges.j])
@@ -61,7 +63,16 @@ def _edge_residuals(x: jax.Array, edges: PoseGraphEdges) -> jax.Array:
     r = jnp.concatenate(
         [jnp.log(E.s)[:, None], so3_log(E.R), E.t], axis=-1
     )  # [E, 7]
-    return (r * edges.weight[:, None]).reshape(-1)
+    r = r * edges.weight[:, None]
+    if huber_delta is not None:
+        # robust kernel: edges whose residual norm exceeds delta grow
+        # linearly, not quadratically, so one bad loop edge cannot dominate
+        # the normal equations (a false loop otherwise corrupts the whole
+        # trajectory — the reference's disabled loop stage had no kernel)
+        n = jnp.linalg.norm(r, axis=-1)
+        scale = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(n, 1e-12)))
+        r = r * scale[:, None]
+    return r.reshape(-1)
 
 
 def optimize_sim3_pose_graph(
@@ -70,8 +81,13 @@ def optimize_sim3_pose_graph(
     max_iterations: int = 30,
     lambda_init: float = 1e-6,
     fix_first: bool = True,
+    huber_delta: float | None = 0.1,
 ) -> Sim3:
-    """LM optimisation; node 0 (the global anchor chunk) stays fixed."""
+    """LM optimisation; node 0 (the global anchor chunk) stays fixed.
+
+    ``huber_delta`` bounds any single edge's influence (robust kernel in the
+    residual); ``None`` restores plain least squares.
+    """
     x0 = np.asarray(_sim3_to_params(nodes_init))
     K = x0.shape[0]
     free = np.ones(K * 7, bool)
@@ -83,7 +99,7 @@ def optimize_sim3_pose_graph(
     def residual_flat(x_free):
         x = jnp.asarray(x0).reshape(-1)
         x = x.at[free_idx].set(x_free)
-        return _edge_residuals(x.reshape(K, 7), edges)
+        return _edge_residuals(x.reshape(K, 7), edges, huber_delta=huber_delta)
 
     res_fn = jax.jit(residual_flat)
     jac_fn = jax.jit(jax.jacfwd(residual_flat))
@@ -133,9 +149,14 @@ def sequential_edges(sim3_list: list[Sim3]) -> PoseGraphEdges:
 def add_loop_edges(
     edges: PoseGraphEdges,
     loops: list[tuple[int, int, Sim3]],
-    weight: float = 1.0,
+    weight: float = 0.5,
 ) -> PoseGraphEdges:
-    """Append loop edges (a, b, M) with M mapping chunk_b → chunk_a coords."""
+    """Append loop edges (a, b, M) with M mapping chunk_b → chunk_a coords.
+
+    Loop edges default to half the odometry weight: odometry measurements
+    come from dense overlap registration of consecutive chunks and are far
+    more reliable than appearance-triggered loop constraints.
+    """
     if not loops:
         return edges
     li = jnp.asarray([a for a, _, _ in loops])

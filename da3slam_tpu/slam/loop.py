@@ -35,6 +35,40 @@ class LoopPair(NamedTuple):
     similarity: float
 
 
+class LoopConstraint(NamedTuple):
+    """A loop Sim(3) measurement plus the quality evidence needed to gate it
+    before it may touch the pose graph (one false loop edge otherwise
+    corrupts the whole trajectory)."""
+
+    transform: Sim3  # chunk_b coords → chunk_a coords
+    rmse: float  # worst weighted registration RMS of the two chunk fits
+    n_effective: int  # smallest effective point count of the two fits
+    reciprocal_err: float  # ‖T_fwd ∘ T_bwd − I‖ chart norm, worst of the two
+
+
+def gate_loop_constraint(
+    lc: LoopConstraint,
+    max_rmse: float = 0.05,
+    min_n_effective: int = 200,
+    max_reciprocal_err: float = 0.1,
+) -> bool:
+    """True iff the loop constraint is trustworthy enough for the graph.
+
+    Three independent failure signals: a high residual means the geometry
+    never registered; a low effective count means the fit rode on a sliver
+    of confident pixels; a high forward/backward inconsistency means the
+    IRLS landed in different basins for the two directions — each is a
+    symptom of a *visual* match without a *geometric* one (the exact
+    false-positive mode of appearance retrieval on self-similar scenes).
+    """
+    return (
+        np.isfinite(lc.rmse)
+        and lc.rmse <= max_rmse
+        and lc.n_effective >= min_n_effective
+        and lc.reciprocal_err <= max_reciprocal_err
+    )
+
+
 def frame_descriptor(image: np.ndarray, size: int = 16) -> np.ndarray:
     """L2-normalised grayscale thumbnail descriptor."""
     img = np.asarray(image, np.float32)
@@ -84,13 +118,24 @@ class LoopDetector:
         return chosen
 
 
+def _chart_norm(T: Sim3) -> float:
+    """Distance of a Sim(3) from identity in the [log s, so3_log, t] chart."""
+    from da3slam_tpu.core.transforms import so3_log
+
+    return float(
+        jnp.abs(jnp.log(T.s))
+        + jnp.linalg.norm(so3_log(T.R))
+        + jnp.linalg.norm(T.t)
+    )
+
+
 def loop_sim3_from_joint_prediction(
     chunk_a: dict,
     chunk_b: dict,
     joint_prediction,
     irls_delta: float = 0.1,
     irls_iters: int = 10,
-) -> Sim3:
+) -> LoopConstraint:
     """Register two stored chunks through one joint model prediction.
 
     ``chunk_a``/``chunk_b``: dicts with depth [N,H,W], conf, extrinsics,
@@ -98,11 +143,14 @@ def loop_sim3_from_joint_prediction(
     ``joint_prediction``: model output over chunk_a's frames followed by
     chunk_b's frames.
 
-    Returns T mapping chunk_b chunk-coords → chunk_a chunk-coords.
+    Returns a :class:`LoopConstraint` whose transform maps chunk_b
+    chunk-coords → chunk_a chunk-coords, with the registration-quality
+    evidence (rmse, effective points, forward/backward reciprocal
+    consistency) callers must gate on before adding the edge.
     """
     na = chunk_a["depth"].shape[0]
 
-    def register(chunk, joint_slice) -> Sim3:
+    def register(chunk, joint_slice):
         pts_chunk = backproject_depth(
             jnp.asarray(chunk["depth"]),
             jnp.asarray(chunk["intrinsics"]),
@@ -119,9 +167,14 @@ def loop_sim3_from_joint_prediction(
         )
         med = jnp.median(conf)
         conf = jnp.where(conf > 0.1 * med, conf, 0.0)
-        res = irls_sim3(pts_chunk, pts_joint, conf=conf,
+        fwd = irls_sim3(pts_chunk, pts_joint, conf=conf,
                         delta=irls_delta, max_iters=irls_iters)
-        return res.transform
+        # reciprocal consistency: the reverse registration must invert the
+        # forward one; disagreement means the fit is not geometrically stable
+        bwd = irls_sim3(pts_joint, pts_chunk, conf=conf,
+                        delta=irls_delta, max_iters=irls_iters)
+        recip = _chart_norm(sim3_compose(fwd.transform, bwd.transform))
+        return fwd.transform, float(fwd.rmse), int(fwd.n_effective), recip
 
     j = joint_prediction
     slice_a = {
@@ -132,6 +185,11 @@ def loop_sim3_from_joint_prediction(
         "depth": j.depth[na:], "conf": j.conf[na:],
         "extrinsics": j.extrinsics[na:], "intrinsics": j.intrinsics[na:],
     }
-    T_a = register(chunk_a, slice_a)  # chunk_a coords → joint coords
-    T_b = register(chunk_b, slice_b)  # chunk_b coords → joint coords
-    return sim3_compose(sim3_inverse(T_a), T_b)
+    T_a, rmse_a, na_eff, rec_a = register(chunk_a, slice_a)  # a → joint
+    T_b, rmse_b, nb_eff, rec_b = register(chunk_b, slice_b)  # b → joint
+    return LoopConstraint(
+        transform=sim3_compose(sim3_inverse(T_a), T_b),
+        rmse=max(rmse_a, rmse_b),
+        n_effective=min(na_eff, nb_eff),
+        reciprocal_err=max(rec_a, rec_b),
+    )

@@ -36,7 +36,11 @@ from da3slam_tpu.inout.ply import merge_ply_files, write_ply
 from da3slam_tpu.inout.trajectory import save_camera_poses
 from da3slam_tpu.ops.registration import irls_sim3
 from da3slam_tpu.slam.chunks import make_chunk_indices
-from da3slam_tpu.slam.loop import LoopDetector, loop_sim3_from_joint_prediction
+from da3slam_tpu.slam.loop import (
+    LoopDetector,
+    gate_loop_constraint,
+    loop_sim3_from_joint_prediction,
+)
 
 
 class DA3Streaming:
@@ -66,9 +70,19 @@ class DA3Streaming:
         icfg = config.get("IRLS", {}) or {}
         self.irls_delta = icfg.get("delta", 0.1)
         self.irls_iters = icfg.get("max_iters", 5)
-        lcfg = config.get("Loop", {}).get("SIM3_Optimizer", {}) or {}
+        loop_cfg = config.get("Loop", {}) or {}
+        lcfg = loop_cfg.get("SIM3_Optimizer", {}) or {}
         self.loop_max_iterations = lcfg.get("max_iterations", 30)
         self.loop_lambda_init = lcfg.get("lambda_init", 1e-6)
+        self.loop_huber_delta = lcfg.get("huber_delta", 0.1)
+        # loop edges weigh less than odometry and must pass the quality gate
+        # (rmse / effective points / reciprocal consistency) before entering
+        # the graph — one unguarded false loop corrupts the whole trajectory
+        self.loop_edge_weight = loop_cfg.get("edge_weight", 0.5)
+        gcfg = loop_cfg.get("Gate", {}) or {}
+        self.loop_max_rmse = gcfg.get("max_rmse", 0.05)
+        self.loop_min_n_effective = gcfg.get("min_n_effective", 200)
+        self.loop_max_reciprocal_err = gcfg.get("max_reciprocal_err", 0.1)
 
         self.result_unaligned_dir = self.output_dir / "_tmp_results_unaligned"
         self.result_aligned_dir = self.output_dir / "_tmp_results_aligned"
@@ -210,12 +224,28 @@ class DA3Streaming:
                 ref_view_strategy=self.ref_view_strategy_loop,
             )
             joint.conf = joint.conf - 1.0
-            T_ba = loop_sim3_from_joint_prediction(
+            lc = loop_sim3_from_joint_prediction(
                 chunk_a, chunk_b, joint,
                 irls_delta=self.irls_delta, irls_iters=max(self.irls_iters, 10),
             )
-            self.loop_edges.append((a, b, T_ba))
-            print(f"  loop edge: chunk {b} → chunk {a} (sim {p.similarity:.3f})")
+            if not gate_loop_constraint(
+                lc,
+                max_rmse=self.loop_max_rmse,
+                min_n_effective=self.loop_min_n_effective,
+                max_reciprocal_err=self.loop_max_reciprocal_err,
+            ):
+                print(
+                    f"  loop edge REJECTED: chunk {b} → chunk {a} "
+                    f"(sim {p.similarity:.3f}, rmse {lc.rmse:.4f}, "
+                    f"n_eff {lc.n_effective}, recip {lc.reciprocal_err:.4f})"
+                )
+                continue
+            self.loop_edges.append((a, b, lc.transform))
+            print(
+                f"  loop edge: chunk {b} → chunk {a} (sim {p.similarity:.3f}, "
+                f"rmse {lc.rmse:.4f}, n_eff {lc.n_effective}, "
+                f"recip {lc.reciprocal_err:.4f})"
+            )
 
     def _optimize_pose_graph(self, accumulated: Sim3) -> Sim3:
         from da3slam_tpu.ops.posegraph import (
@@ -225,11 +255,12 @@ class DA3Streaming:
         )
 
         edges = sequential_edges(self.sim3_list)
-        edges = add_loop_edges(edges, self.loop_edges)
+        edges = add_loop_edges(edges, self.loop_edges, weight=self.loop_edge_weight)
         return optimize_sim3_pose_graph(
             accumulated, edges,
             max_iterations=self.loop_max_iterations,
             lambda_init=self.loop_lambda_init,
+            huber_delta=self.loop_huber_delta,
         )
 
     # -- pass 2 ------------------------------------------------------------

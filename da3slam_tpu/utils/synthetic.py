@@ -118,8 +118,16 @@ class SyntheticDA3:
             ext_local[:, :, 3] *= s
 
         self.call_count += 1
+        # pose-deterministic shaded images (normalised inverse depth, so the
+        # per-chunk scale ambiguity does not leak into appearance): revisits
+        # of the same pose reproduce the same image, which lets the loop
+        # detector run against the synthetic world
+        inv = 1.0 / np.maximum(depth, 1e-6)
+        inv = inv / inv.max(axis=(1, 2), keepdims=True)
+        shade = (inv * 255).astype(np.uint8)
+        images = np.repeat(shade[..., None], 3, axis=-1)
         return Prediction(
-            processed_images=np.zeros((n, H, W, 3), np.uint8),
+            processed_images=images,
             depth=depth.astype(np.float32),
             conf=np.full((n, H, W), 1.5, np.float32),
             extrinsics=ext_local,

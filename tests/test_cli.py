@@ -31,6 +31,7 @@ def tiny_config(tmp_path):
 
 
 class TestMainSlam:
+    @pytest.mark.slow
     def test_end_to_end_with_export(self, image_dir, tiny_config, tmp_path):
         from da3slam_tpu.cli.main_slam import main
 

@@ -65,6 +65,7 @@ class TestStageTimer:
 
 
 class TestOrbaxCheckpoint:
+    @pytest.mark.slow
     def test_train_state_roundtrip(self, tmp_path):
         import jax
         import jax.numpy as jnp

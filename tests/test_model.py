@@ -127,6 +127,7 @@ class TestCheckpoint:
 
 
 class TestJit:
+    @pytest.mark.slow
     def test_forward_fn_jits_and_grads(self):
         """The pure forward must be differentiable (training path)."""
         cfg = TINY

@@ -45,6 +45,7 @@ class TestShardingRules:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases_on_8dev_mesh(self):
         mesh = make_mesh(8)
         init_fn, step_fn, place_batch = make_train_step(CFG, mesh, learning_rate=3e-4)
@@ -57,6 +58,7 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
 
+    @pytest.mark.slow
     def test_tp_matches_single_device(self):
         """Same init + batch must give the same loss on (4,2) and (1,1)
         meshes — sharding must not change the math."""
@@ -72,6 +74,7 @@ class TestTrainStep:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow
     def test_dryrun_multichip_8(self):
         import sys
         sys.path.insert(0, "/root/repo")

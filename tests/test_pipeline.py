@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -122,6 +123,7 @@ class TestScanPipeline:
 
 
 class TestSegmentedPipeline:
+    @pytest.mark.slow
     def test_segmented_matches_single_scan(self):
         """Segmenting the scan (bounded-HBM mode for unbounded sequences)
         must be a pure execution-strategy change: outputs identical."""

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -55,6 +56,7 @@ class TestUseRayPoseEndToEnd:
         for E in pred.extrinsics:
             np.testing.assert_allclose(E[:3, :3] @ E[:3, :3].T, np.eye(3), atol=1e-4)
 
+    @pytest.mark.slow
     def test_differs_from_camera_head(self):
         model = DepthAnything3.from_pretrained("tiny")
         rng = np.random.default_rng(2)

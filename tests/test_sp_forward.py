@@ -14,6 +14,7 @@ CFG = get_preset("tiny")
 
 class TestShardedForward:
     @pytest.mark.parametrize("n_dev", [2, 4])
+    @pytest.mark.slow
     def test_matches_single_device(self, n_dev):
         """View-sharded forward (ring cross-view attention) must equal the
         unsharded forward — sharding is an execution layout, not math."""

@@ -109,6 +109,135 @@ class TestPoseGraph:
         np.testing.assert_allclose(float(out.s[0]), 1.0, atol=1e-6)
 
 
+class TestAdversarialLoop:
+    def test_false_loop_edge_bounded_by_huber(self):
+        """One grossly wrong loop edge (visual alias: the measurement says
+        'same place' when the chunks are far apart) must NOT corrupt the
+        trajectory: with the robust kernel + reduced loop weight the nodes
+        stay near their odometry solution."""
+        rng = np.random.default_rng(7)
+        K = 8
+        pg = TestPoseGraph()
+        nodes, meas = pg.make_chain(K, rng)
+        noisy_meas = [perturb(M, rng, 0.01) for M in meas]
+        init = [nodes[0]]
+        for M in noisy_meas:
+            init.append(sim3_compose(init[-1], M))
+        # adversarial edge: claims chunk K-1 sits exactly at chunk 0
+        false_meas = Sim3(jnp.asarray(1.0, jnp.float32), jnp.eye(3), jnp.zeros(3))
+        edges = add_loop_edges(
+            sequential_edges(noisy_meas), [(0, K - 1, false_meas)], weight=0.5
+        )
+        out = optimize_sim3_pose_graph(
+            stack_sim3(init), edges, max_iterations=30, huber_delta=0.1
+        )
+        # trajectory stays within odometry-noise bounds of ground truth
+        err = max(
+            float(jnp.linalg.norm(out.t[k] - nodes[k].t)) for k in range(K)
+        )
+        gt_extent = max(float(jnp.linalg.norm(nodes[k].t)) for k in range(K))
+        assert err < 0.15 * max(gt_extent, 1.0), (
+            f"false loop corrupted trajectory: max node error {err:.3f} "
+            f"(extent {gt_extent:.3f})"
+        )
+
+    def test_false_loop_catastrophic_without_huber(self):
+        """Sanity check that the scenario above is actually adversarial:
+        plain least squares (no kernel) lets the false edge drag the last
+        node far from truth."""
+        rng = np.random.default_rng(7)
+        K = 8
+        pg = TestPoseGraph()
+        nodes, meas = pg.make_chain(K, rng)
+        noisy_meas = [perturb(M, rng, 0.01) for M in meas]
+        init = [nodes[0]]
+        for M in noisy_meas:
+            init.append(sim3_compose(init[-1], M))
+        false_meas = Sim3(jnp.asarray(1.0, jnp.float32), jnp.eye(3), jnp.zeros(3))
+        edges = add_loop_edges(
+            sequential_edges(noisy_meas), [(0, K - 1, false_meas)], weight=1.0
+        )
+        out = optimize_sim3_pose_graph(
+            stack_sim3(init), edges, max_iterations=30, huber_delta=None
+        )
+        err_last = float(jnp.linalg.norm(out.t[K - 1] - nodes[K - 1].t))
+        dist_claimed = float(jnp.linalg.norm(nodes[K - 1].t - nodes[0].t))
+        # the unprotected solve moves the last node a large fraction of the
+        # way toward the falsely-claimed location
+        assert err_last > 0.2 * dist_claimed
+
+    def test_gate_rejects_geometric_mismatch(self):
+        """A loop pair whose chunks are different geometry must fail the
+        quality gate even though the 'detector' fired."""
+        from da3slam_tpu.slam.loop import (
+            gate_loop_constraint,
+            loop_sim3_from_joint_prediction,
+        )
+
+        rng = np.random.default_rng(11)
+        H = W = 32
+        K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+        eye = np.tile(np.eye(3, 4, dtype=np.float32), (2, 1, 1))
+        Ks = np.tile(K, (2, 1, 1))
+
+        def chunk(depth):
+            return {
+                "depth": depth,
+                "conf": np.ones((2, H, W), np.float32),
+                "extrinsics": eye,
+                "intrinsics": Ks,
+            }
+
+        # chunk_a: smooth plane; chunk_b: unrelated rough terrain
+        plane = np.full((2, H, W), 2.0, np.float32)
+        rough = (2.0 + rng.uniform(-0.9, 0.9, size=(2, H, W))).astype(np.float32)
+
+        class Joint:
+            # the joint prediction sees chunk_a's geometry twice (the model,
+            # confused by the visual alias, hallucinates a consistent scene)
+            depth = np.concatenate([plane, plane])
+            conf = np.ones((4, H, W), np.float32)
+            extrinsics = np.tile(np.eye(3, 4, dtype=np.float32), (4, 1, 1))
+            intrinsics = np.tile(K, (4, 1, 1))
+
+        lc = loop_sim3_from_joint_prediction(chunk(plane), chunk(rough), Joint())
+        assert not gate_loop_constraint(lc), (
+            f"geometric mismatch passed the gate: rmse={lc.rmse:.4f} "
+            f"recip={lc.reciprocal_err:.4f}"
+        )
+
+    def test_gate_accepts_consistent_geometry(self):
+        from da3slam_tpu.slam.loop import (
+            gate_loop_constraint,
+            loop_sim3_from_joint_prediction,
+        )
+
+        rng = np.random.default_rng(13)
+        H = W = 32
+        K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+        terrain = (2.0 + rng.uniform(-0.5, 0.5, size=(2, H, W))).astype(np.float32)
+
+        def chunk(depth):
+            return {
+                "depth": depth,
+                "conf": np.ones((2, H, W), np.float32),
+                "extrinsics": np.tile(np.eye(3, 4, dtype=np.float32), (2, 1, 1)),
+                "intrinsics": np.tile(K, (2, 1, 1)),
+            }
+
+        class Joint:
+            depth = np.concatenate([terrain, terrain])
+            conf = np.ones((4, H, W), np.float32)
+            extrinsics = np.tile(np.eye(3, 4, dtype=np.float32), (4, 1, 1))
+            intrinsics = np.tile(K, (4, 1, 1))
+
+        lc = loop_sim3_from_joint_prediction(chunk(terrain), chunk(terrain), Joint())
+        assert gate_loop_constraint(lc), (
+            f"good loop rejected: rmse={lc.rmse:.4f} n_eff={lc.n_effective} "
+            f"recip={lc.reciprocal_err:.4f}"
+        )
+
+
 class TestLoopDetector:
     def make_image(self, rng, seed_pattern):
         r = np.random.default_rng(seed_pattern)
@@ -147,6 +276,7 @@ class TestStreamingEndToEnd:
         "Pointcloud_Save": {"conf_threshold_coef": 0.5, "sample_ratio": 0.5},
     }
 
+    @pytest.mark.slow
     def test_long_sequence(self, tmp_path):
         n = 14
         poses = make_trajectory(n)

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,7 @@ CFG = get_preset("tiny")
 
 
 class TestTorchImport:
+    @pytest.mark.slow
     def test_roundtrip_preserves_forward(self):
         """export → import on fresh params must reproduce the original
         model's outputs exactly (validates every name + transposition)."""
