@@ -132,7 +132,7 @@ class DepthAnything3:
     @classmethod
     def _from_torch_state_dict(cls, sd, ckpt_dir: Path, seed: int) -> "DepthAnything3":
         from da3slam_tpu.models.config import config_from_json
-        from da3slam_tpu.models.torch_import import import_torch_encoder
+        from da3slam_tpu.models.torch_import import import_torch_checkpoint
 
         if (ckpt_dir / "config.json").exists():
             try:
@@ -142,7 +142,7 @@ class DepthAnything3:
         else:
             cfg = get_preset(str(ckpt_dir))
         params = init_params(jax.random.PRNGKey(seed), cfg)
-        params, report = import_torch_encoder(sd, params, cfg)
+        params, report = import_torch_checkpoint(sd, params, cfg)
         print(f"torch checkpoint import: {report}")
         if report.missing:
             print(f"  unmatched (kept at init): {report.missing[:8]}"

@@ -173,10 +173,152 @@ def import_torch_encoder(
     return new_params, ImportReport(matched, missing, unused)
 
 
+def _copy_tree(t: Any) -> Any:
+    if isinstance(t, dict):
+        return {k: _copy_tree(v) for k, v in t.items()}
+    if isinstance(t, list):
+        return [_copy_tree(v) for v in t]
+    return t
+
+
+def _navigate(tree: Any, path: tuple) -> Any:
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def _dpt_name_map() -> list[tuple[tuple, str]]:
+    """Our DPT pytree paths ↔ released DPT checkpoint naming.
+
+    Mirrors the standard DPT/MiDaS layout the public DA3/VGGT releases use
+    for their dense heads (``depth_head.projects.N`` 1x1 taps,
+    ``scratch.layerN_rn`` stage convs, ``refinenetN.resConfUnitM.convK``
+    residual units, ``output_conv1/2`` head).  Each entry maps one of our
+    conv dicts ({kernel HWIO, bias}) to the torch base name whose
+    ``.weight``/``.bias`` hold it in OIHW.
+    """
+    m: list[tuple[tuple, str]] = []
+    for k in range(4):
+        m.append((("project", k), f"depth_head.projects.{k}"))
+        m.append((("stage_rn", k), f"depth_head.scratch.layer{k + 1}_rn"))
+        for j in range(2):
+            m.append(
+                (("fusion", k, "rcu1", j),
+                 f"depth_head.scratch.refinenet{k + 1}.resConfUnit1.conv{j + 1}")
+            )
+            m.append(
+                (("fusion", k, "rcu2", j),
+                 f"depth_head.scratch.refinenet{k + 1}.resConfUnit2.conv{j + 1}")
+            )
+        m.append((("fusion", k, "out"),
+                  f"depth_head.scratch.refinenet{k + 1}.out_conv"))
+    m.append((("head1",), "depth_head.scratch.output_conv1"))
+    m.append((("head2",), "depth_head.scratch.output_conv2.0"))
+    m.append((("head_out",), "depth_head.scratch.output_conv2.2"))
+    return m
+
+
+# our camera-head linears ↔ torch camera-head naming (weight stored [out,in])
+_CAMERA_NAME_MAP: list[tuple[str, str, str]] = [
+    # (ours_w, ours_b, theirs_base)
+    ("w1", "b1", "camera_head.mlp.fc1"),
+    ("w2", "b2", "camera_head.mlp.fc2"),
+    ("w_out", "b_out", "camera_head.out"),
+]
+
+
+def _head_candidates(name: str) -> list[str]:
+    """Checkpoint-name candidates for a head tensor: released checkpoints
+    differ in the head prefix across DA3 versions."""
+    alts = [name]
+    if name.startswith("depth_head."):
+        rest = name[len("depth_head."):]
+        alts += [f"head.{rest}", f"dpt.{rest}", f"dpt_head.{rest}"]
+    if name.startswith("camera_head."):
+        rest = name[len("camera_head."):]
+        alts += [f"pose_head.{rest}", f"cam_head.{rest}"]
+    return alts
+
+
+def import_torch_heads(
+    state_dict: Mapping[str, np.ndarray], params: Any
+) -> tuple[Any, ImportReport]:
+    """Overlay DPT depth-head + camera-head weights onto ``params``.
+
+    Torch convs are OIHW → transposed to our HWIO; linears are [out, in] →
+    transposed to [in, out].  Tensors absent from the checkpoint stay at
+    their current (initialised) values and are listed in ``report.missing``.
+    """
+    import jax.numpy as jnp
+
+    sd = _strip_prefixes({k: np.asarray(v) for k, v in state_dict.items()})
+    used: set[str] = set()
+    matched: list[str] = []
+    missing: list[str] = []
+
+    new_params = dict(params)
+    new_params["dpt"] = _copy_tree(params["dpt"])
+    new_params["camera"] = _copy_tree(params["camera"])
+
+    def assign(target: dict, key: str, ckpt_names: list[str], transform=None):
+        name, val = _take(sd, ckpt_names)
+        if val is None:
+            missing.append(ckpt_names[0])
+            return
+        if transform is not None:
+            val = transform(val)
+        if tuple(val.shape) != tuple(np.shape(target[key])):
+            missing.append(
+                f"{ckpt_names[0]} (shape {val.shape} != {np.shape(target[key])})"
+            )
+            return
+        target[key] = jnp.asarray(val)
+        used.add(name)
+        matched.append(ckpt_names[0])
+
+    conv_t = lambda w: np.transpose(np.asarray(w), (2, 3, 1, 0))  # noqa: E731
+    lin_t = lambda w: np.asarray(w).T  # noqa: E731
+
+    for path, base in _dpt_name_map():
+        conv = _navigate(new_params["dpt"], path)
+        assign(conv, "kernel", _head_candidates(f"{base}.weight"), conv_t)
+        assign(conv, "bias", _head_candidates(f"{base}.bias"))
+
+    cam = new_params["camera"]
+    for ours_w, ours_b, base in _CAMERA_NAME_MAP:
+        assign(cam, ours_w, _head_candidates(f"{base}.weight"), lin_t)
+        assign(cam, ours_b, _head_candidates(f"{base}.bias"))
+
+    unused = sorted(set(sd) - used)
+    return new_params, ImportReport(matched, missing, unused)
+
+
+def import_torch_checkpoint(
+    state_dict: Mapping[str, np.ndarray], params: Any, cfg
+) -> tuple[Any, ImportReport]:
+    """Full-checkpoint import: encoder + DPT head + camera head.
+
+    The reference consumes complete released checkpoints
+    (solver.py:58-61, da3_streaming.py:168-176); this maps every section,
+    reporting per-tensor matches so silent-parity failures (SURVEY §7.3.1)
+    are visible at load time."""
+    params, enc_report = import_torch_encoder(state_dict, params, cfg)
+    params, head_report = import_torch_heads(state_dict, params)
+    # a tensor is truly unused only if neither pass consumed it
+    unused = sorted(set(enc_report.unused) & set(head_report.unused))
+    report = ImportReport(
+        matched=enc_report.matched + head_report.matched,
+        missing=enc_report.missing + head_report.missing,
+        unused=unused,
+    )
+    return params, report
+
+
 def export_torch_style(params: Any) -> dict[str, np.ndarray]:
-    """Inverse mapping (encoder only) — produces a DINOv2-style state dict.
-    Used to validate the import mapping by round-trip, and to hand weights
-    back to torch-based tooling."""
+    """Inverse mapping (encoder + heads) — produces a DA3/DINOv2-style state
+    dict.  Used to validate the import mapping by round-trip, and to hand
+    weights back to torch-based tooling."""
     enc = params["encoder"]
     sd: dict[str, np.ndarray] = {
         "patch_embed.proj.weight": np.transpose(np.asarray(enc["patch_embed"]["kernel"]), (3, 2, 0, 1)),
@@ -206,6 +348,18 @@ def export_torch_style(params: Any) -> dict[str, np.ndarray]:
         sd[f"{b}.mlp.fc2.weight"] = np.asarray(blk["mlp"]["w2"]).T
         sd[f"{b}.mlp.fc2.bias"] = np.asarray(blk["mlp"]["b2"])
         sd[f"{b}.ls2.gamma"] = np.asarray(blk["ls2"])
+
+    # heads: our HWIO convs → torch OIHW, our [in,out] linears → [out,in]
+    if "dpt" in params:
+        for path, base in _dpt_name_map():
+            conv = _navigate(params["dpt"], path)
+            sd[f"{base}.weight"] = np.transpose(np.asarray(conv["kernel"]), (3, 2, 0, 1))
+            sd[f"{base}.bias"] = np.asarray(conv["bias"])
+    if "camera" in params:
+        cam = params["camera"]
+        for ours_w, ours_b, base in _CAMERA_NAME_MAP:
+            sd[f"{base}.weight"] = np.asarray(cam[ours_w]).T
+            sd[f"{base}.bias"] = np.asarray(cam[ours_b])
     return sd
 
 

@@ -57,5 +57,8 @@ class TestImagePrefetcher:
         solver = SLAMSolver(str(tmp_path), cfg, model=model, viewer=None)
         assert solver.prefetch is True
         solver.run()
-        assert len(solver.results) == 2
+        # chunks [0-3), [2-5), plus the re-anchored tail window [3-6)
+        # covering frame 5 (step=2 leaves one trailing frame)
+        assert len(solver.results) == 3
+        assert solver.results[-1]["dedup_skip"] == 2
         assert solver._prefetcher is None  # closed after run

@@ -7,7 +7,9 @@ from da3slam_tpu.models import DepthAnything3, get_preset
 from da3slam_tpu.models.da3 import forward_fn, init_params
 from da3slam_tpu.models.torch_import import (
     export_torch_style,
+    import_torch_checkpoint,
     import_torch_encoder,
+    import_torch_heads,
     load_torch_checkpoint_file,
 )
 
@@ -15,28 +17,79 @@ from da3slam_tpu.models.torch_import import (
 CFG = get_preset("tiny")
 
 
+def assert_pytree_equal(a, b):
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = jax.tree_util.tree_leaves_with_path(b)
+    assert len(la) == len(lb)
+    for (pa, va), (pb, vb) in zip(la, lb):
+        assert pa == pb
+        np.testing.assert_array_equal(
+            np.asarray(va), np.asarray(vb), err_msg=str(pa)
+        )
+
+
 class TestTorchImport:
-    @pytest.mark.slow
-    def test_roundtrip_preserves_forward(self):
-        """export → import on fresh params must reproduce the original
-        model's outputs exactly (validates every name + transposition)."""
+    def test_full_checkpoint_roundtrip_bitwise(self):
+        """export → full import on different-init params must reproduce the
+        ENTIRE pytree bitwise — encoder, DPT head, and camera head — with
+        zero unmatched tensors in either direction (the 'zero-unmatched
+        synthetic full checkpoint' bar; real DA3 checkpoints load through
+        the same name map, reference solver.py:58-61)."""
         p1 = init_params(jax.random.PRNGKey(0), CFG)
         sd = export_torch_style(p1)
         p2 = init_params(jax.random.PRNGKey(99), CFG)  # different init
-        p2, report = import_torch_encoder(sd, p2, CFG)
+        p2, report = import_torch_checkpoint(sd, p2, CFG)
         assert not report.missing, report.missing
         assert not report.unused, report.unused
+        assert_pytree_equal(p1, p2)
+
+    def test_head_import_alternate_prefixes(self):
+        """Released checkpoints differ in head prefixes; 'head.' / 'cam_head.'
+        aliases must map onto the same tensors."""
+        p1 = init_params(jax.random.PRNGKey(0), CFG)
+        sd = export_torch_style(p1)
+        renamed = {}
+        for k, v in sd.items():
+            k = k.replace("depth_head.", "head.").replace("camera_head.", "cam_head.")
+            renamed[k] = v
+        p2, report = import_torch_heads(renamed, init_params(jax.random.PRNGKey(1), CFG))
+        assert not report.missing, report.missing
+        assert_pytree_equal(p1["dpt"], p2["dpt"])
+        assert_pytree_equal(p1["camera"], p2["camera"])
+
+    def test_export_uses_torch_layouts(self):
+        """The exported dict must be in torch conventions: convs OIHW,
+        linears [out, in] — so real torch tooling can consume it."""
+        p1 = init_params(jax.random.PRNGKey(0), CFG)
+        sd = export_torch_style(p1)
+        # head_out: ours HWIO [1,1,32,8] → torch OIHW [8,32,1,1]
+        assert sd["depth_head.scratch.output_conv2.2.weight"].shape == (8, 32, 1, 1)
+        cam_w1 = sd["camera_head.mlp.fc1.weight"]
+        assert cam_w1.shape == (CFG.camera_dim, CFG.embed_dim)
+
+    @pytest.mark.slow
+    def test_roundtrip_preserves_forward(self):
+        """export → full import on fresh params must reproduce the original
+        model's outputs exactly (validates every name + transposition on the
+        real forward path, heads included)."""
+        p1 = init_params(jax.random.PRNGKey(0), CFG)
+        sd = export_torch_style(p1)
+        p2, report = import_torch_checkpoint(
+            sd, init_params(jax.random.PRNGKey(99), CFG), CFG
+        )
+        assert not report.missing, report.missing
 
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.normal(size=(2, 28, 28, 3)).astype(np.float32))
         o1 = forward_fn(p1, x, CFG)
-        # heads aren't covered by the encoder import → splice original heads
-        p2_full = dict(p2)
-        p2_full["dpt"], p2_full["camera"] = p1["dpt"], p1["camera"]
-        o2 = forward_fn(p2_full, x, CFG)
+        o2 = forward_fn(p2, x, CFG)
         np.testing.assert_allclose(np.asarray(o1["depth"]), np.asarray(o2["depth"]), atol=1e-6)
         np.testing.assert_allclose(
             np.asarray(o1["extrinsics"]), np.asarray(o2["extrinsics"]), atol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(o1["conf"]), np.asarray(o2["conf"]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(o1["intrinsics"]), np.asarray(o2["intrinsics"]), atol=1e-6
         )
 
     def test_prefixed_names_and_partial(self):
