@@ -98,6 +98,14 @@ def viewer_cls():
         sys.modules.pop("da3slam_tpu.viz.viewer", None)
 
 
+def visible_points(v):
+    """Total points across the latest handle of each per-frame cloud."""
+    latest = {}
+    for c in v.server.scene.clouds:
+        latest[c.name] = c
+    return sum(c.points.shape[0] for c in latest.values())
+
+
 def frame_inputs(seed=0, H=24, W=32):
     rng = np.random.default_rng(seed)
     image = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
@@ -132,10 +140,10 @@ class TestSLAMViewer:
         v = viewer_cls(port=9999, point_stride=1)
         img, depth, conf, E, K = frame_inputs()
         v.add_frame(img, depth, conf, E, K)
-        full = v.server.scene.clouds[-1].points.shape[0]
+        full = visible_points(v)
         v.gui_conf_percentile.value = 50
         v.gui_conf_percentile.trigger()
-        half = v.server.scene.clouds[-1].points.shape[0]
+        half = visible_points(v)
         assert half == pytest.approx(full / 2, rel=0.1)
 
     def test_frame_filter(self, viewer_cls):
@@ -143,12 +151,57 @@ class TestSLAMViewer:
         for i in range(3):
             img, depth, conf, E, K = frame_inputs(seed=i)
             v.add_frame(img, depth, conf, E, K)
-        all_pts = v.server.scene.clouds[-1].points.shape[0]
+        all_pts = visible_points(v)
         v.gui_frame_filter.value = "1"
         v.gui_frame_filter.trigger()
-        one = v.server.scene.clouds[-1].points.shape[0]
+        one = visible_points(v)
         assert one < all_pts
+        assert one == v.all_points[1].shape[0]
         assert v.gui_frame_filter.options == ["all", "0", "1", "2"]
+
+    def test_incremental_sends(self, viewer_cls):
+        """Steady-state ingest sends only the new frame's points — one new
+        cloud handle per frame, no re-send of earlier frames (the reference
+        re-sent the whole accumulated map per frame, viewer.py:317-356)."""
+        v = viewer_cls(port=9999, point_stride=2)
+        sends = []
+        for i in range(4):
+            img, depth, conf, E, K = frame_inputs(seed=i)
+            before = len(v.server.scene.clouds)
+            v.add_frame(img, depth, conf, E, K)
+            sends.append(len(v.server.scene.clouds) - before)
+        assert sends == [1, 1, 1, 1]
+
+    def test_point_budget_display_stride(self, viewer_cls):
+        img, depth, conf, E, K = frame_inputs()
+        n_per_frame = img.shape[0] * img.shape[1]  # stride 1, all valid
+        v = viewer_cls(port=9999, point_stride=1, max_points=int(n_per_frame * 1.5))
+        v.add_frame(img, depth, conf, E, K)
+        assert v._display_stride == 1
+        assert visible_points(v) == n_per_frame
+        v.add_frame(img, depth, conf, E, K)  # 2 frames > budget → stride 2
+        assert v._display_stride == 2
+        assert visible_points(v) <= int(n_per_frame * 1.5)
+
+    def test_flythrough_interpolates_poses(self, viewer_cls):
+        from da3slam_tpu.viz.viewer import _slerp
+
+        v = viewer_cls(port=9999, point_stride=4)
+        for i in range(2):
+            img, depth, conf, E, K = frame_inputs(seed=i)
+            E = E.copy()
+            E[0, 3] = float(i)  # translate along x
+            v.add_frame(img, depth, conf, E, K)
+        assert len(v.cam_poses) == 2
+        # runs without clients connected
+        v.run_demo_flythrough(interval_s=0.0, steps_per_edge=2)
+        # slerp endpoints + unit norm
+        q0 = np.array([1.0, 0, 0, 0])
+        q1 = np.array([np.cos(0.5), np.sin(0.5), 0, 0])
+        np.testing.assert_allclose(_slerp(q0, q1, 0.0), q0, atol=1e-6)
+        np.testing.assert_allclose(_slerp(q0, q1, 1.0), q1, atol=1e-6)
+        mid = _slerp(q0, q1, 0.5)
+        assert np.linalg.norm(mid) == pytest.approx(1.0, abs=1e-6)
 
     def test_chw_float_image_accepted(self, viewer_cls):
         v = viewer_cls(port=9999)
