@@ -31,11 +31,16 @@ def show_prediction(
     port: int = 8080,
     point_stride: int = 4,
     block: bool = True,
+    mask_sky: bool = False,
+    sky_onnx_path: str | None = None,
 ):
     """Spin up a viewer and load every frame of a prediction.
 
-    Returns the viewer (or None when viser is unavailable — headless
-    degradation like the solver's).
+    ``mask_sky`` zeroes the confidence of sky pixels before display (the
+    reference demo's behavior, utils/vggt+viser.py:256-303 — there via an
+    ONNX model, here a top-connected flood heuristic with an optional ONNX
+    path).  Returns the viewer (or None when viser is unavailable —
+    headless degradation like the solver's).
     """
     try:
         from da3slam_tpu.viz.viewer import SLAMViewer
@@ -44,6 +49,12 @@ def show_prediction(
         return None
 
     scene = prediction_to_viewer_dict(prediction, extrinsics_global)
+    if mask_sky:
+        from da3slam_tpu.viz.sky import apply_sky_segmentation
+
+        scene["conf"] = apply_sky_segmentation(
+            scene["conf"], scene["images"], onnx_model_path=sky_onnx_path
+        )
     viewer = SLAMViewer(port=port, point_stride=point_stride)
     for i in range(scene["depth"].shape[0]):
         viewer.add_frame(

@@ -45,6 +45,42 @@ class TestSkyMask:
         mask = sky_mask_heuristic(img)
         assert mask.mean() < 0.1
 
+    def test_dark_pixel_does_not_shadow_rows_below(self):
+        """Regression: the old column-AND flood let a single non-sky pixel
+        kill all sky beneath it; a proper connected-component flood grows
+        laterally around it."""
+        img = self.make_scene()
+        img[5, 30] = [120, 90, 50]  # one dark pixel inside the sky
+        mask = sky_mask_heuristic(img)
+        assert not mask[5, 30]
+        assert mask[6:18, 30].all()  # sky continues below via lateral runs
+        assert mask[:18].mean() > 0.95
+
+    def test_foreground_object_occludes_only_itself(self):
+        """A dark tower through the sky: sky must persist on both sides and
+        below its top, but the tower column itself stays unmasked."""
+        img = self.make_scene()
+        img[0:20, 20:24] = [60, 50, 40]  # dark tower from the top edge down
+        mask = sky_mask_heuristic(img)
+        assert not mask[:20, 20:24].any()
+        assert mask[:18, :18].mean() > 0.95
+        assert mask[:18, 26:].mean() > 0.95
+
+    def test_sky_colored_region_not_connected_to_top_is_excluded(self):
+        """A blue lake at the bottom is not top-connected → not sky."""
+        img = self.make_scene()
+        img[30:36, 10:50] = [110, 160, 230]  # lake, same color as sky
+        mask = sky_mask_heuristic(img, horizon=1.0)
+        assert not mask[30:36, 10:50].any()
+
+    def test_onnx_path_missing_runtime_falls_back(self, capsys):
+        img = self.make_scene()
+        conf = np.full((1, 40, 60), 2.0, np.float32)
+        out = apply_sky_segmentation(conf, img[None], onnx_model_path="/nonexistent.onnx")
+        # heuristic fallback still zeroes the sky
+        assert (out[0, :18] == 0).mean() > 0.9
+        assert "using heuristic" in capsys.readouterr().out
+
 
 class TestStageTimer:
     def test_accumulates_and_reports(self):
