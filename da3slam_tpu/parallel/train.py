@@ -94,6 +94,83 @@ def make_train_step(
     return init_fn, step_fn, place_batch
 
 
+def make_sp_train_step(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    axis: str = "dp",
+    learning_rate: float = 1e-4,
+    dtype=jnp.float32,
+    ref_idx: int = 0,
+):
+    """View-sharded (sequence-parallel) train step for giant-tier fine-tuning.
+
+    Where ``make_train_step`` shards the batch-of-windows axis, this shards
+    the *view* axis of one window across ``axis``: patch embed, intra-view
+    attention, MLPs and the DPT head run on local view shards inside
+    ``shard_map``; cross-view attention runs as the differentiable ring
+    (parallel/ring_attention.py — ``ppermute`` transposes to the reverse
+    ring in the backward pass, and the flash custom-VJP covers the local
+    blocks); the tiny camera head and the losses run globally on the
+    view-sharded logical arrays, with GSPMD inserting the reductions.
+
+    Returns ``(init_fn, step_fn, place_batch)``.  ``step_fn(state, batch)``
+    with batch = dict(images [N,H,W,3] f32 normalised, depth [N,H,W],
+    extrinsics [N,3,4]), views sharded over ``axis`` (N divisible by the
+    axis size).  Parameters are replicated (sp targets activation memory —
+    the quadratic cross-view attention — not weight memory).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    from da3slam_tpu.models import camera, dpt, vit
+
+    tx = optax.adamw(learning_rate)
+    view_spec = P(axis)
+
+    def local_encode(params, imgs):
+        taps, final, grid = vit.encode(
+            params["encoder"], imgs, cfg,
+            attn_impl="xla", dtype=dtype, cross_attn_impl=f"ring:{axis}",
+        )
+        H, W = imgs.shape[1], imgs.shape[2]
+        depth, conf, _rays = dpt.apply_dpt(params["dpt"], taps, grid, (H, W), cfg)
+        return depth, conf, final[:, 0, :]
+
+    def loss_fn(params, batch):
+        sharded = shard_map(
+            local_encode,
+            mesh=mesh,
+            in_specs=(P(), view_spec),
+            out_specs=(view_spec, view_spec, view_spec),
+        )
+        depth, conf, cam_tokens = sharded(params, batch["images"])
+        H, W = batch["images"].shape[1], batch["images"].shape[2]
+        ext, _intr = camera.apply_camera_head(
+            params["camera"], cam_tokens, (H, W), ref_idx
+        )
+        return depth_loss(depth, conf, batch["depth"]) + pose_loss(
+            ext, batch["extrinsics"]
+        )
+
+    def init_fn(seed: int = 0) -> TrainState:
+        params = init_params(jax.random.PRNGKey(seed), cfg)
+        params = jax.device_put(params, replicated(mesh))
+        opt_state = tx.init(params)
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: TrainState, batch) -> tuple[TrainState, jax.Array]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def place_batch(batch):
+        return jax.device_put(batch, NamedSharding(mesh, view_spec))
+
+    return init_fn, step_fn, place_batch
+
+
 def synthetic_batch(cfg: ModelConfig, batch: int, n_views: int, hw: tuple[int, int], seed=0):
     """Tiny synthetic supervised batch for smoke tests / dryruns."""
     import numpy as np
