@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 
 
 # ---------------------------------------------------------------------------
@@ -39,8 +40,8 @@ LOG2E = 1.4426950408889634
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref,
-    m_scr, l_scr, acc_scr,
-    *, scale2: float, block_k: int, seq_k: int,
+    m_scr, acc_scr,
+    *, head_dim: int,
 ):
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -48,42 +49,53 @@ def _fwd_kernel(
     @pl.when(ki == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # [bq, D]
-    k = k_ref[0]  # [bk, D]
+    q = q_ref[0]  # [bq, Dk] — pre-scaled by log2(e)/√D on the host, so the
+    # matmul output is the base-2 logits directly (saves a [bq, bk] VPU mult).
+    # When the sequence is not a block multiple, Dk = 128 > head_dim and the
+    # extra columns carry the padding mask as a matmul bias: q has a
+    # ones-column at head_dim, K has 0 there for valid keys and NEG_INF for
+    # padded keys — the MXU contraction of 64 already costs a full 128-deep
+    # pass, so the mask rides the systolic array for free (no VPU masking,
+    # no per-block iota, no pipeline-breaking conditional).
+    k = k_ref[0]  # [bk, Dk]
+    # [bk, Dp]: V columns 0..D-1, a ones-column at D, zeros beyond — built on
+    # the VPU per block (cheap: bk·Dp elems) instead of host-padding V, which
+    # would double its HBM streaming traffic
+    Dp = acc_scr.shape[-1]
+    bk_rows = k.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bk_rows, Dp), 1)
+    v_pad = jnp.pad(v_ref[0], ((0, 0), (0, Dp - head_dim)))
+    v_ones = v_pad + (lane == head_dim).astype(v_pad.dtype)
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale2  # [bq, bk] base-2 logits
-
-    # mask padded key columns (sequence padded up to a block multiple)
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < seq_k, s, NEG_INF)
+    )  # [bq, bk] base-2 logits (mask included via the bias column)
 
     m_prev = m_scr[:, :1]  # [bq, 1]
-    l_prev = l_scr[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
 
     alpha = jnp.exp2(m_prev - m_new)
     p = jnp.exp2(s - m_new)
-    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
+    # V is padded to 128 lanes with a ones-column at `head_dim`: the single
+    # MXU pass yields [p·V | rowsum(p)] — the softmax denominator rides the
+    # otherwise-wasted lanes (D=64 < 128) instead of a separate VPU reduce.
+    # The denominator column obeys the same rescale recurrence as the output.
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0],
+        p.astype(v_ones.dtype), v_ones,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(ki == n_k - 1)
     def _finalize():
-        l_fin = jnp.maximum(l_scr[:, :1], 1e-30)
-        o_ref[0] = (acc_scr[:] / l_fin).astype(o_ref.dtype)
+        l_fin = jnp.maximum(acc_scr[:, head_dim:head_dim + 1], 1e-30)
+        o_ref[0] = (acc_scr[:, :head_dim] / l_fin).astype(o_ref.dtype)
         # base-2 log-sum-exp per row: softmax_ij = exp2(s2_ij - lse2_i)
         # (stored lane-padded [bq, 8]: TPU block shapes need aligned minor dims)
         lse_ref[0] = jnp.broadcast_to(m_scr[:, :1] + jnp.log2(l_fin), lse_ref.shape[1:])
@@ -93,7 +105,11 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fold(x, S, St, B, H, D):
+def _fold(x, S, St, B, H, D, scale=None):
+    if scale is not None:
+        # pre-scale in f32 then round once — XLA fuses this into the
+        # transpose/pad copy below, so it costs no extra HBM pass
+        x = (x.astype(jnp.float32) * scale).astype(x.dtype)
     x = jnp.swapaxes(x, 1, 2).reshape(B * H, S, D)
     if St != S:
         x = jnp.pad(x, ((0, 0), (0, St - S), (0, 0)))
@@ -108,17 +124,29 @@ def _flash_forward(q, k, v, block_q, block_k):
     Sq = _round_up(S, bq)
     Sk = _round_up(S, bk)
 
-    qf = _fold(q, S, Sq, B, H, D)
+    qf = _fold(q, S, Sq, B, H, D, scale=scale2)  # base-2 logit scale in q
     kf = _fold(k, S, Sk, B, H, D)
     vf = _fold(v, S, Sk, B, H, D)
 
+    if Sk != S:
+        # padding mask as a matmul bias column (see _fwd_kernel comment)
+        Dk = _round_up(D + 1, 128)
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, Dk - D)))
+        qf = qf.at[:, :, D].set(1.0)
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, Dk - D)))
+        kbias = jnp.where(jnp.arange(Sk) >= S, jnp.bfloat16(NEG_INF), 0.0)
+        kf = kf.at[:, :, D].set(kbias[None].astype(kf.dtype))
+    else:
+        Dk = D
+
     grid = (B * H, Sq // bq, Sk // bk)
+    Dp = _round_up(D + 1, 128)  # accumulator lanes: [p·V | rowsum(p) | 0…]
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale2=scale2, block_k=bk, seq_k=S),
+        functools.partial(_fwd_kernel, head_dim=D),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bq, Dk), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, Dk), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
         ],
         out_specs=(
@@ -129,10 +157,14 @@ def _flash_forward(q, k, v, block_q, block_k):
             jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
             jax.ShapeDtypeStruct((B * H, Sq, 8), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            # default scoped-vmem cap is 16 MiB; the [bq, bk] f32 score
+            # panels at the tuned block sizes need more (v5e has 128 MiB)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),  # running max (lane-replicated)
-            pltpu.VMEM((bq, 128), jnp.float32),  # running denom
-            pltpu.VMEM((bq, D), jnp.float32),  # output accumulator
+            pltpu.VMEM((bq, Dp), jnp.float32),  # output ∥ denominator accumulator
         ],
     )(qf, kf, vf)
 
@@ -149,7 +181,7 @@ def _flash_forward(q, k, v, block_q, block_k):
 def _bwd_dq_kernel(
     q_ref, k_ref, do_ref, v_ref, lse_ref, dvec_ref, dq_ref,
     dq_scr,
-    *, scale2: float, scale: float, block_k: int, seq_k: int,
+    *, scale: float,
 ):
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -158,14 +190,15 @@ def _bwd_dq_kernel(
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0]
+    q = q_ref[0]  # pre-scaled by log2(e)/√D (forward residual)
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale2
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    p = jnp.where(col < seq_k, jnp.exp2(s - lse_ref[0][:, :1]), 0.0)  # softmax
+    )
+    # no padding mask needed: padded K rows are zero, so their dq
+    # contribution dz_j ⊗ k_j vanishes regardless of p's value there
+    p = jnp.exp2(s - lse_ref[0][:, :1])  # softmax
 
     dov = jax.lax.dot_general(  # dO · Vᵀ : [bq, bk]
         do_ref[0], v_ref[0],
@@ -187,7 +220,6 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     q_ref, k_ref, do_ref, v_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
     dk_scr, dv_scr,
-    *, scale2: float, scale: float, seq_k: int,
 ):
     qi = pl.program_id(2)
     n_q = pl.num_programs(2)
@@ -197,17 +229,16 @@ def _bwd_dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]  # [bq, D]
+    q = q_ref[0]  # [bq, D] — pre-scaled by log2(e)/√D (forward residual)
     k = k_ref[0]  # [bk, D]
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale2  # [bq, bk]
-    col = pl.program_id(1) * k.shape[0] + jax.lax.broadcasted_iota(
-        jnp.int32, s.shape, 1
-    )
-    p = jnp.where(col < seq_k, jnp.exp2(s - lse_ref[0][:, :1]), 0.0)
-    # (padded q rows carry dO = 0 and D = 0, so they contribute nothing)
+    )  # [bq, bk] base-2 logits
+    # no padding mask needed: padded q rows carry dO = 0 and D = 0 (zero
+    # contribution), and the dk/dv rows of padded k positions are sliced
+    # off after the kernel — p's value there never reaches a kept output
+    p = jnp.exp2(s - lse_ref[0][:, :1])
 
     do = do_ref[0]  # [bq, D]
     dv_scr[:] += jax.lax.dot_general(  # pᵀ · dO : [bk, D]
@@ -221,11 +252,13 @@ def _bwd_dkv_kernel(
         preferred_element_type=jnp.float32,
     )
     dz = p * (dov - dvec_ref[0][:, :1])
+    # dk = dzᵀ·q_orig·(1/√D); with q pre-scaled by log2(e)/√D the factor
+    # becomes (1/√D)/(log2(e)/√D) = ln 2
     dk_scr[:] += jax.lax.dot_general(  # dzᵀ · q : [bk, D]
         dz.astype(q.dtype), q,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    ) * LN2
 
     @pl.when(qi == n_q - 1)
     def _fin():
@@ -235,12 +268,11 @@ def _bwd_dkv_kernel(
 
 def _flash_backward(block_q, block_k, res, g):
     qf, kf, vf, o, lse = res
-    BH, Sq, D = qf.shape
+    BH, Sq, Dk = qf.shape  # Dk ≥ D when the forward added the bias column
     Sk = kf.shape[1]
-    # infer original (B, S, H) from the cotangent
-    B, S, H, _ = g.shape
+    # infer original (B, S, H, D) from the cotangent
+    B, S, H, D = g.shape
     scale = 1.0 / (D**0.5)
-    scale2 = LOG2E / (D**0.5)
     bq = min(block_q, Sq)
     bk = min(block_k, Sk)
 
@@ -251,42 +283,51 @@ def _flash_backward(block_q, block_k, res, g):
     dvec = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
     dvec = jnp.tile(dvec[..., None], (1, 1, 8))
 
-    qspec = pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0))
-    kspec = pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0))
+    # q/k (and dq/dk) carry Dk lanes; dO/V/dV carry the true head dim
+    qkspec = pl.BlockSpec((1, bq, Dk), lambda b, qi, ki: (b, qi, 0))
+    kspec = pl.BlockSpec((1, bk, Dk), lambda b, qi, ki: (b, ki, 0))
+    dspec = pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0))
+    vspec = pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0))
     rowq = pl.BlockSpec((1, bq, 8), lambda b, qi, ki: (b, qi, 0))
 
     dq = pl.pallas_call(
-        functools.partial(
-            _bwd_dq_kernel, scale2=scale2, scale=scale, block_k=bk, seq_k=S
-        ),
+        functools.partial(_bwd_dq_kernel, scale=scale),
         grid=(BH, Sq // bq, Sk // bk),
-        in_specs=[qspec, kspec, qspec, kspec, rowq, rowq],
-        out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), qf.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        in_specs=[qkspec, kspec, dspec, vspec, rowq, rowq],
+        out_specs=qkspec,
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, Dk), qf.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        scratch_shapes=[pltpu.VMEM((bq, Dk), jnp.float32)],
     )(qf, kf, dof, vf, lse, dvec)
 
     # dk/dv: swap the roles — grid iterates k blocks, accumulates over q
-    qspec2 = pl.BlockSpec((1, bq, D), lambda b, ki, qi: (b, qi, 0))
-    kspec2 = pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0))
+    qspec2 = pl.BlockSpec((1, bq, Dk), lambda b, ki, qi: (b, qi, 0))
+    kspec2 = pl.BlockSpec((1, bk, Dk), lambda b, ki, qi: (b, ki, 0))
+    dspec2 = pl.BlockSpec((1, bq, D), lambda b, ki, qi: (b, qi, 0))
+    vspec2 = pl.BlockSpec((1, bk, D), lambda b, ki, qi: (b, ki, 0))
     rowq2 = pl.BlockSpec((1, bq, 8), lambda b, ki, qi: (b, qi, 0))
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale2=scale2, scale=scale, seq_k=S),
+        _bwd_dkv_kernel,
         grid=(BH, Sk // bk, Sq // bq),
-        in_specs=[qspec2, kspec2, qspec2, kspec2, rowq2, rowq2],
-        out_specs=(kspec2, kspec2),
+        in_specs=[qspec2, kspec2, dspec2, vspec2, rowq2, rowq2],
+        out_specs=(kspec2, vspec2),
         out_shape=(
-            jax.ShapeDtypeStruct((BH, Sk, D), kf.dtype),
+            jax.ShapeDtypeStruct((BH, Sk, Dk), kf.dtype),
             jax.ShapeDtypeStruct((BH, Sk, D), vf.dtype),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         scratch_shapes=[
-            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, Dk), jnp.float32),
             pltpu.VMEM((bk, D), jnp.float32),
         ],
     )(qf, kf, dof, vf, lse, dvec)
 
     def unfold(x):
-        return jnp.swapaxes(x[:, :S, :].reshape(B, H, S, D), 1, 2)
+        return jnp.swapaxes(x[:, :S, :D].reshape(B, H, S, D), 1, 2)
 
     return unfold(dq), unfold(dk), unfold(dv)
 
@@ -313,7 +354,7 @@ def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_k: int = 2048,
 ) -> jax.Array:
     """Softmax(QKᵀ/√d)·V for ``[B, S, H, D]`` inputs (full attention).

@@ -1,92 +1,104 @@
-"""Microbenchmark for ops/flash_attention at the SLAM hot shape.
+"""Flash-attention kernel microbenchmark at the SLAM hot shape.
 
-The dominant kernel (SURVEY.md §3.1) is cross-view attention over a 16-frame
-chunk: S = 16 views x (37x37 patches + registers) ~ 22k tokens, H=6 heads of
-D=64 (DA3-SMALL).  Prints TF/s for the forward kernel per (block_q, block_k).
+The hot kernel (SURVEY.md §3.1): cross-view attention over a 16-frame chunk
+at process_res=504 → S = 16·(504/14)² + extra tokens ≈ 20.8k, ViT-S heads
+H=6, D=64, bf16.  Reports achieved TF/s (4·B·H·S²·D FLOPs) per
+(block_q, block_k) configuration, plus the XLA reference for context.
 
-Usage: python tools/bench_flash.py [--s 21984] [--h 6] [--grad]
+Usage: python tools/bench_flash.py [--backward]
 """
 
 from __future__ import annotations
 
 import argparse
-import pathlib
+import os
 import sys
 import time
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from da3slam_tpu.ops.flash_attention import flash_attention
+
+def _force(out):
+    # a host fetch forces true completion (block_until_ready alone can
+    # return early through the remote-relay transport — see bench.py)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
-def bench(fn, q, k, v, iters=20, warmup=3):
-    """Times `fn(q, k, v)` with iterations chained through q so the device
-    must execute all of them; a host fetch of one element forces true
-    completion (block_until_ready can return early through the remote-relay
-    transport)."""
-
-    def chained(q, k, v, n):
-        def body(_, q):
-            o = fn(q, k, v)
-            return (q + 1e-6 * o.astype(q.dtype)).astype(q.dtype)
-
-        return jax.lax.fori_loop(0, n, body, q)
-
-    run = jax.jit(chained, static_argnames="n")
-    float(np.asarray(run(q, k, v, warmup))[0, 0, 0, 0])
+def bench(fn, *args, reps=5):
+    _force(fn(*args))
     t0 = time.perf_counter()
-    float(np.asarray(run(q, k, v, iters))[0, 0, 0, 0])
-    return (time.perf_counter() - t0) / iters
+    for _ in range(reps):
+        out = fn(*args)
+    _force(out)
+    return (time.perf_counter() - t0) / reps
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--s", type=int, default=21984)
-    ap.add_argument("--h", type=int, default=6)
-    ap.add_argument("--d", type=int, default=64)
-    ap.add_argument("--b", type=int, default=1)
-    ap.add_argument("--grad", action="store_true", help="bench fwd+bwd too")
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--backward", action="store_true")
+    ap.add_argument("--seq", type=int, default=20786)  # 16·36²+2 extra tokens/frame... realistic odd S
+    ap.add_argument("--heads", type=int, default=6)
+    ap.add_argument("--dim", type=int, default=64)
     args = ap.parse_args()
 
-    B, S, H, D = args.b, args.s, args.h, args.d
-    rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(B, S, H, D)), dtype=jnp.bfloat16)
-    k = jnp.asarray(rng.normal(size=(B, S, H, D)), dtype=jnp.bfloat16)
-    v = jnp.asarray(rng.normal(size=(B, S, H, D)), dtype=jnp.bfloat16)
+    B, S, H, D = 1, args.seq, args.heads, args.dim
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, S, H, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, S, H, D), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, S, H, D), jnp.bfloat16)
 
-    fwd_flops = 4.0 * B * H * S * S * D  # QK^T + PV, 2 flops per MAC
-    print(f"shape B={B} S={S} H={H} D={D}  fwd_flops={fwd_flops/1e12:.2f} TF")
-    print(f"devices: {jax.devices()}")
+    flops_fwd = 4.0 * B * H * S * S * D
+    print(f"shape B={B} S={S} H={H} D={D} bf16; fwd FLOPs {flops_fwd/1e9:.1f} G")
 
-    for bq, bk in [(256, 1024), (512, 1024), (512, 2048), (1024, 1024),
-                   (1024, 2048), (512, 4096), (2048, 2048)]:
-        try:
-            f = jax.jit(lambda q, k, v, bq=bq, bk=bk: flash_attention(
-                q, k, v, block_q=bq, block_k=bk))
-            dt = bench(f, q, k, v, iters=args.iters)
-            print(f"fwd  bq={bq:5d} bk={bk:5d}: {dt*1e3:8.2f} ms  "
-                  f"{fwd_flops/dt/1e12:7.2f} TF/s")
-        except Exception as e:  # noqa: BLE001
-            print(f"fwd  bq={bq:5d} bk={bk:5d}: FAILED {type(e).__name__}: {e}")
+    from da3slam_tpu.ops.flash_attention import flash_attention
 
-    if args.grad:
-        tot_flops = fwd_flops * (1 + 2.5)  # bwd ~ 2.5x fwd matmul work
-        for bq, bk in [(512, 1024), (512, 2048), (1024, 1024)]:
-            def loss(q, k, v, bq=bq, bk=bk):
-                return jnp.sum(flash_attention(
-                    q, k, v, block_q=bq, block_k=bk).astype(jnp.float32))
-            g = jax.grad(loss, argnums=0)
+    if args.backward:
+        def loss(q, k, v, bq, bk):
+            return flash_attention(q, k, v, block_q=bq, block_k=bk).astype(jnp.float32).sum()
+
+        grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2)), static_argnums=(3, 4))
+        for bq, bk in [(256, 1024), (512, 1024), (512, 2048), (1024, 1024)]:
             try:
-                dt = bench(g, q, k, v, iters=max(args.iters // 2, 5))
-                print(f"f+b  bq={bq:5d} bk={bk:5d}: {dt*1e3:8.2f} ms  "
-                      f"{tot_flops/dt/1e12:7.2f} TF/s")
-            except Exception as e:  # noqa: BLE001
-                print(f"f+b  bq={bq:5d} bk={bk:5d}: FAILED {type(e).__name__}: {e}")
+                dt = bench(lambda: grad(q, k, v, bq, bk))
+            except Exception as e:
+                print(f"bwd bq={bq} bk={bk}: FAIL {type(e).__name__}")
+                continue
+            # fwd recompute inside bwd ≈ 2.5× fwd flops for dq,dk,dv
+            print(f"bwd bq={bq:5d} bk={bk:5d}: {dt*1e3:8.2f} ms  {flops_fwd*2.5/dt/1e12:6.1f} TF/s")
+        return
+
+    configs = [
+        (256, 512), (256, 1024), (256, 2048),
+        (512, 512), (512, 1024), (512, 2048), (512, 4096),
+        (1024, 512), (1024, 1024), (1024, 2048),
+        (2048, 1024),
+    ]
+    for bq, bk in configs:
+        try:
+            dt = bench(lambda: flash_attention(q, k, v, block_q=bq, block_k=bk))
+        except Exception as e:
+            print(f"fwd bq={bq:5d} bk={bk:5d}: FAIL {type(e).__name__}: {e}")
+            continue
+        print(f"fwd bq={bq:5d} bk={bk:5d}: {dt*1e3:8.2f} ms  {flops_fwd/dt/1e12:6.1f} TF/s")
+
+    # XLA reference (materialises S×S — may OOM at full S; try anyway)
+    def xla_attn(q, k, v):
+        qf = q.astype(jnp.float32) / (D ** 0.5)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qf.astype(jnp.bfloat16), k)
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(jnp.bfloat16)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+    try:
+        dt = bench(jax.jit(xla_attn), q, k, v, reps=3)
+        print(f"xla reference      : {dt*1e3:8.2f} ms  {flops_fwd/dt/1e12:6.1f} TF/s")
+    except Exception as e:
+        print(f"xla reference      : FAIL {type(e).__name__}")
 
 
 if __name__ == "__main__":
