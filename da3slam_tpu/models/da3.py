@@ -36,6 +36,9 @@ class Prediction:
     conf: np.ndarray  # [N, H, W] float32, ~>= 1.0
     extrinsics: np.ndarray  # [N, 3, 4] float32 w2c OpenCV, chunk-local
     intrinsics: np.ndarray  # [N, 3, 3] float32 zero-skew pinhole
+    # extension over the reference contract: [N, D] L2-normalised encoder
+    # descriptors for loop retrieval (None for models without an encoder)
+    frame_desc: np.ndarray | None = None
 
 
 def init_params(key: jax.Array, cfg: ModelConfig) -> Any:
@@ -75,12 +78,21 @@ def forward_fn(
         # re-anchor so the reference view is the identity, like the head path
         ext_rays = se3_compose(ext_rays, se3_inverse(ext_rays[ref_idx])[None])
         extrinsics = ext_rays
+    # per-frame retrieval descriptor: L2-normalised mean-pooled patch tokens
+    # (free — the encoder already ran; consumed by slam/loop.LoopDetector for
+    # learned-feature loop retrieval instead of appearance thumbnails)
+    pooled = jnp.mean(final[:, vit.num_prefix_tokens(cfg):, :], axis=1)
+    pooled = pooled.astype(jnp.float32)
+    frame_desc = pooled / jnp.maximum(
+        jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+    )
     return {
         "depth": depth,
         "conf": conf,
         "extrinsics": extrinsics,
         "intrinsics": intrinsics,
         "rays": rays,
+        "frame_desc": frame_desc,
     }
 
 
@@ -217,6 +229,7 @@ class DepthAnything3:
             conf=np.asarray(out["conf"], np.float32),
             extrinsics=np.asarray(ext, np.float32),
             intrinsics=np.asarray(out["intrinsics"], np.float32),
+            frame_desc=np.asarray(out["frame_desc"], np.float32),
         )
         if export_dir is not None:
             _export(pred, export_dir, export_format)

@@ -84,35 +84,84 @@ def frame_descriptor(image: np.ndarray, size: int = 16) -> np.ndarray:
 
 
 class LoopDetector:
-    def __init__(self, threshold: float = 0.92, min_gap: int = 30, max_loops: int = 10):
+    """Appearance retrieval over the whole sequence.
+
+    Two descriptor sources, chosen per frame by the caller:
+      - a learned descriptor (``desc=``): the model's L2-normalised
+        mean-pooled encoder patch tokens (``Prediction.frame_desc``) — free,
+        lighting-robust, and the native replacement for the reference's
+        external image-retrieval ``LoopDetector`` (da3_streaming.py:193-199);
+      - the grayscale-thumbnail fallback for model-less runs.
+
+    Retrieval is a dense cosine matrix, evaluated in row blocks on the
+    accelerator for long sequences (the matmul is tiny by TPU standards —
+    10k frames × 384 dims is 77 GFLOP — so there is no need for an
+    approximate vocabulary tree; blocking merely bounds the [T, T] memory).
+    """
+
+    def __init__(self, threshold: float = 0.92, min_gap: int = 30,
+                 max_loops: int = 10, block_rows: int = 4096):
         self.threshold = threshold
         self.min_gap = min_gap
         self.max_loops = max_loops
+        self.block_rows = block_rows
         self._descs: list[np.ndarray] = []
+        self._kind: str | None = None
 
-    def add_frame(self, image: np.ndarray) -> None:
-        self._descs.append(frame_descriptor(image))
+    def add_frame(self, image: np.ndarray | None, desc: np.ndarray | None = None) -> None:
+        if desc is not None:
+            d = np.asarray(desc, np.float32).reshape(-1)
+            n = np.linalg.norm(d)
+            d = d / n if n > 0 else d
+            kind = "learned"
+        else:
+            d = frame_descriptor(image)
+            kind = "thumbnail"
+        if self._kind is None:
+            self._kind = kind
+        elif self._kind != kind:
+            raise ValueError(
+                f"mixed descriptor kinds: detector holds {self._kind!r}, "
+                f"got {kind!r} — pass desc= for every frame or for none"
+            )
+        self._descs.append(d)
+
+    def _candidates(self, D: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """All (i, j, sim) with j - i ≥ min_gap and sim > threshold,
+        computed in row blocks (device matmul, [block, T] panels)."""
+        T = D.shape[0]
+        Dj = jnp.asarray(D)
+        rows, cols, sims = [], [], []
+        for r0 in range(0, T, self.block_rows):
+            r1 = min(r0 + self.block_rows, T)
+            panel = np.asarray(Dj[r0:r1] @ Dj.T)  # [r, T]
+            jj = np.arange(T)[None, :]
+            ii = np.arange(r0, r1)[:, None]
+            hit = (jj - ii >= self.min_gap) & (panel > self.threshold)
+            r, c = np.nonzero(hit)
+            rows.append(r + r0)
+            cols.append(c)
+            sims.append(panel[r, c])
+        r = np.concatenate(rows)
+        c = np.concatenate(cols)
+        return np.stack([r, c], -1), np.concatenate(sims)
 
     def detect(self) -> list[LoopPair]:
         if len(self._descs) < self.min_gap + 2:
             return []
         D = np.stack(self._descs)  # [T, d]
-        sim = D @ D.T
-        T = sim.shape[0]
-        ii, jj = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
-        mask = (jj - ii) >= self.min_gap
-        cand = np.argwhere(mask & (sim > self.threshold))
-        if cand.size == 0:
+        cand, sim = self._candidates(D)
+        if cand.shape[0] == 0:
             return []
         # greedy NMS: best-similarity pairs first, suppress neighbours
-        order = np.argsort(-sim[cand[:, 0], cand[:, 1]])
+        order = np.argsort(-sim)
         chosen: list[LoopPair] = []
         for k in order:
             a, b = int(cand[k, 0]), int(cand[k, 1])
             if any(abs(a - p.frame_a) < self.min_gap // 2 and
                    abs(b - p.frame_b) < self.min_gap // 2 for p in chosen):
                 continue
-            chosen.append(LoopPair(a, b, float(sim[a, b])))
+            chosen.append(LoopPair(a, b, float(sim[k])))
             if len(chosen) >= self.max_loops:
                 break
         return chosen

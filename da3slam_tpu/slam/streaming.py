@@ -121,9 +121,7 @@ class DA3Streaming:
             chunk = dict(np.load(spill))
             self.all_camera_poses.append((chunk_range, chunk["extrinsics"]))
             self.all_camera_intrinsics.append(chunk["intrinsics"])
-            if self.loop_detector is not None:
-                for img in chunk["images"][: self.chunk_size - self.overlap]:
-                    self.loop_detector.add_frame(img)
+            self._feed_loop_detector(chunk)
             return chunk
         paths = self.img_list[chunk_range[0] : chunk_range[1]]
         pred = self.model.inference(
@@ -138,6 +136,8 @@ class DA3Streaming:
             "intrinsics": np.asarray(pred.intrinsics),
             "images": np.asarray(pred.processed_images),
         }
+        if getattr(pred, "frame_desc", None) is not None:
+            chunk["frame_desc"] = np.asarray(pred.frame_desc, np.float32)
         np.savez(
             self.result_unaligned_dir / f"chunk_{chunk_idx}.npz", **chunk
         )
@@ -152,10 +152,20 @@ class DA3Streaming:
                 )
         self.all_camera_poses.append((chunk_range, chunk["extrinsics"]))
         self.all_camera_intrinsics.append(chunk["intrinsics"])
-        if self.loop_detector is not None:
-            for img in chunk["images"][: self.chunk_size - self.overlap]:
-                self.loop_detector.add_frame(img)
+        self._feed_loop_detector(chunk)
         return chunk
+
+    def _feed_loop_detector(self, chunk: dict) -> None:
+        if self.loop_detector is None:
+            return
+        # prefer the model's learned retrieval descriptors (loop.py); fall
+        # back to appearance thumbnails for models that don't provide them
+        descs = chunk.get("frame_desc")
+        n = self.chunk_size - self.overlap
+        for i, img in enumerate(chunk["images"][:n]):
+            self.loop_detector.add_frame(
+                img, desc=None if descs is None else descs[i]
+            )
 
     def load_chunk(self, chunk_idx: int, aligned: bool = False) -> dict:
         d = self.result_aligned_dir if aligned else self.result_unaligned_dir

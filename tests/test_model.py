@@ -107,6 +107,16 @@ class TestForward:
         h, w = pred.depth.shape[1:]
         assert w == 56 and w % 14 == 0 and h % 14 == 0 and h < w
 
+    def test_frame_descriptors(self, tiny_model):
+        """Retrieval descriptors: [N, D] L2-normalised, input-dependent."""
+        p1 = tiny_model.inference(image=random_images(3, seed=1), process_res=42)
+        assert p1.frame_desc is not None
+        assert p1.frame_desc.shape == (3, tiny_model.cfg.embed_dim)
+        np.testing.assert_allclose(
+            np.linalg.norm(p1.frame_desc, axis=-1), 1.0, atol=1e-5)
+        p2 = tiny_model.inference(image=random_images(3, seed=2), process_res=42)
+        assert np.abs(p1.frame_desc - p2.frame_desc).max() > 1e-4
+
 
 class TestCheckpoint:
     def test_save_load_roundtrip(self, tiny_model, tmp_path):

@@ -108,6 +108,47 @@ class TestPoseGraph:
         # anchor stays fixed
         np.testing.assert_allclose(float(out.s[0]), 1.0, atol=1e-6)
 
+    def test_cg_solver_matches_dense(self):
+        """The matrix-free LM-CG path must land on the same optimum as the
+        dense normal equations (same scenario as the drift test)."""
+        rng = np.random.default_rng(2)
+        K = 6
+        nodes, meas = self.make_chain(K, rng)
+        noisy_meas = [perturb(M, rng, 0.03) for M in meas]
+        init = [nodes[0]]
+        for M in noisy_meas:
+            init.append(sim3_compose(init[-1], M))
+        loop_meas = sim3_compose(sim3_inverse(nodes[0]), nodes[K - 1])
+        edges = add_loop_edges(
+            sequential_edges(noisy_meas), [(0, K - 1, loop_meas)], weight=3.0
+        )
+        dense = optimize_sim3_pose_graph(
+            stack_sim3(init), edges, max_iterations=30, solver="dense")
+        cg = optimize_sim3_pose_graph(
+            stack_sim3(init), edges, max_iterations=30, solver="cg")
+        np.testing.assert_allclose(np.asarray(cg.t), np.asarray(dense.t), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(cg.s), np.asarray(dense.s), rtol=2e-3)
+
+    def test_cg_scales_to_long_sequences(self):
+        """A 150-node graph (auto → CG: >700 free params, where the dense
+        [7K,7K] solve would be the bottleneck) converges: noisy odometry +
+        three exact long-range loops, final drift well under initial."""
+        rng = np.random.default_rng(5)
+        K = 150
+        nodes, meas = self.make_chain(K, rng)
+        noisy_meas = [perturb(M, rng, 0.02) for M in meas]
+        init = [nodes[0]]
+        for M in noisy_meas:
+            init.append(sim3_compose(init[-1], M))
+        loops = []
+        for a, b in [(0, K - 1), (10, K // 2), (K // 3, 2 * K // 3)]:
+            loops.append((a, b, sim3_compose(sim3_inverse(nodes[a]), nodes[b])))
+        edges = add_loop_edges(sequential_edges(noisy_meas), loops, weight=3.0)
+        drift_before = float(jnp.linalg.norm(init[-1].t - nodes[-1].t))
+        out = optimize_sim3_pose_graph(stack_sim3(init), edges, max_iterations=15)
+        drift_after = float(jnp.linalg.norm(out.t[-1] - nodes[-1].t))
+        assert drift_after < drift_before * 0.5, (drift_before, drift_after)
+
 
 class TestAdversarialLoop:
     def test_false_loop_edge_bounded_by_huber(self):
@@ -267,6 +308,39 @@ class TestLoopDetector:
     def test_descriptor_normalised(self):
         d = frame_descriptor(np.random.default_rng(0).integers(0, 255, (48, 64, 3)))
         np.testing.assert_allclose(np.linalg.norm(d), 1.0, atol=1e-6)
+
+    def test_learned_descriptors(self):
+        """Learned encoder descriptors (Prediction.frame_desc) drive
+        retrieval when supplied: a revisit in descriptor space is found even
+        though no images are given at all."""
+        rng = np.random.default_rng(0)
+        base = rng.normal(size=(40, 32)).astype(np.float32)
+        det = LoopDetector(threshold=0.9, min_gap=10)
+        for i in range(40):
+            det.add_frame(None, desc=base[i])
+        for i in range(3):  # frames 40..42 revisit 0..2 with small noise
+            det.add_frame(None, desc=base[i] + 0.01 * rng.normal(size=32))
+        pairs = det.detect()
+        assert any(p.frame_a < 3 and p.frame_b >= 40 for p in pairs)
+
+    def test_mixed_descriptor_kinds_rejected(self):
+        det = LoopDetector()
+        det.add_frame(None, desc=np.ones(8, np.float32))
+        with pytest.raises(ValueError, match="mixed descriptor kinds"):
+            det.add_frame(self.make_image(None, 0))
+
+    def test_blocked_retrieval_matches_dense(self):
+        """Row-blocked device retrieval must find the same pairs as a
+        single-panel pass."""
+        rng = np.random.default_rng(1)
+        descs = rng.normal(size=(50, 16)).astype(np.float32)
+        descs[45] = descs[2] + 0.001 * rng.normal(size=16)
+        d1 = LoopDetector(threshold=0.9, min_gap=10, block_rows=7)
+        d2 = LoopDetector(threshold=0.9, min_gap=10, block_rows=4096)
+        for d in descs:
+            d1.add_frame(None, desc=d)
+            d2.add_frame(None, desc=d)
+        assert d1.detect() == d2.detect()
 
 
 class TestStreamingEndToEnd:
