@@ -154,13 +154,20 @@ def run_streaming_slam(
     attn_impl: str = "auto",
     dtype=jnp.bfloat16,
     segment_windows: int | None = None,
+    segment_spill: str = "host",
 ) -> PipelineOutput:
     """Host convenience wrapper: window indexing + the scan pipeline.
 
     ``segment_windows`` bounds device memory for arbitrarily long sequences:
-    the scan runs ``segment_windows`` windows at a time, uploading only each
-    segment's frame slice to HBM and threading the carry between segments —
+    the scan runs ``segment_windows`` windows at a time, keeping only each
+    segment's frame slice in HBM and threading the carry between segments —
     results are identical to the single-scan path.
+
+    ``segment_spill`` says where segment outputs accumulate: "host" (the
+    default — per-segment dense outputs move off-device, the true
+    bounded-HBM mode) or "device" (outputs stay as device arrays; use when
+    the caller will immediately reduce them on-device, or to measure the
+    compute path without the host link).
     """
     T = frames.shape[0]
     idx, anchors = make_windows(T, chunk_size, overlap)
@@ -179,16 +186,25 @@ def run_streaming_slam(
         )
         return out
 
-    frames = np.asarray(frames)
+    if segment_spill not in ("host", "device"):
+        raise ValueError(f"segment_spill must be 'host' or 'device', got {segment_spill!r}")
+    on_device_frames = isinstance(frames, jax.Array)
+    if not on_device_frames:
+        frames = np.asarray(frames)
     outputs = []
     carry = None
     for s0 in range(0, idx.shape[0], segment_windows):
         seg_idx = idx[s0 : s0 + segment_windows]
         seg_anchors = anchors[s0 : s0 + segment_windows]
         f_lo, f_hi = int(seg_idx.min()), int(seg_idx.max()) + 1
+        if on_device_frames:
+            # already in HBM: slice device-side, no host round-trip
+            seg_frames = jax.lax.slice_in_dim(frames, f_lo, f_hi, axis=0)
+        else:
+            seg_frames = jnp.asarray(frames[f_lo:f_hi])  # upload one segment
         out, carry = run_pipeline(
             params,
-            jnp.asarray(frames[f_lo:f_hi]),  # only this segment's frames in HBM
+            seg_frames,
             jnp.asarray(seg_idx - f_lo),
             jnp.asarray(seg_anchors),
             cfg,
@@ -198,5 +214,6 @@ def run_streaming_slam(
             process_hw,
             carry=carry,
         )
-        outputs.append(jax.tree.map(np.asarray, out))
-    return PipelineOutput(*[np.concatenate(parts) for parts in zip(*outputs)])
+        outputs.append(jax.tree.map(np.asarray, out) if segment_spill == "host" else out)
+    cat = np.concatenate if segment_spill == "host" else jnp.concatenate
+    return PipelineOutput(*[cat(parts) for parts in zip(*outputs)])

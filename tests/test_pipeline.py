@@ -147,3 +147,12 @@ class TestSegmentedPipeline:
         )
         np.testing.assert_allclose(np.asarray(full.depth_scale),
                                    np.asarray(seg.depth_scale), rtol=1e-5)
+
+        # device spill (outputs stay as jax arrays, frames sliced on-device)
+        # is a pure transport change: bitwise-identical to host spill
+        dev = run_streaming_slam(model.params, jnp.asarray(frames), model.cfg,
+                                 segment_windows=2, segment_spill="device", **kw)
+        assert isinstance(dev.depth, jax.Array)
+        np.testing.assert_array_equal(np.asarray(seg.depth), np.asarray(dev.depth))
+        np.testing.assert_array_equal(np.asarray(seg.extrinsics_global),
+                                      np.asarray(dev.extrinsics_global))
