@@ -1,83 +1,210 @@
-"""End-to-end SLAM throughput benchmark (driver entry point).
+"""End-to-end SLAM benchmark suite (driver entry point).
 
-Measures the BASELINE.md headline metric: end-to-end depth+pose streaming
-FPS on one chip — the full device-resident scan pipeline (DA3-SMALL forward
-+ depth-scale + projective ICP + pose chaining) over 16-frame windows at the
-reference's process_res=504 geometry, single-frame overlap
-(configs/config1.yaml:7-9 → chunk windows, SURVEY.md §6).
+Emits one JSON line per metric, headline first:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline = the 30 FPS target from BASELINE.json (the reference publishes no
-numbers of its own).
+  end_to_end_slam_fps   — the BASELINE.md metric: full device-resident scan
+                          pipeline (DA3-SMALL forward + depth-scale +
+                          projective ICP + pose chaining) over 16-frame
+                          windows at the reference's process_res=504
+                          geometry (configs/config1.yaml:7-9, SURVEY.md §6)
+  segmented_slam_fps    — same pipeline with segment_windows=3 (bounded-HBM
+                          mode for unbounded sequences, slam/pipeline.py)
+  forward_fps_base      — BASE-tier 16-frame chunk forward
+  forward_fps_large     — LARGE-tier 16-frame chunk forward
+  synthetic_ate_rmse    — correctness: SLAMSolver on the synthetic ground-
+                          truth world (per-chunk scale ambiguity + noise),
+                          ATE in world units (lower is better)
+
+vs_baseline: FPS metrics are value/30 (the BASELINE.json target — the
+reference publishes no numbers, SURVEY.md §6); the ATE line reports
+0.01/value so that >1.0 means better than the test suite's error bound.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
+BASELINE_FPS = 30.0
+ATE_BOUND = 0.01
 
-def main() -> None:
+
+def _emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 4),
+                "unit": unit,
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _force(*arrays) -> None:
+    # a host fetch of a value depending on the outputs forces true
+    # completion (block_until_ready alone can return early through the
+    # remote-relay transport)
+    for a in arrays:
+        float(np.asarray(a).ravel()[-1])
+
+
+def bench_pipeline(model, frames_dev, hw, segment_windows=None, n_reps=3):
     import jax
 
-    from da3slam_tpu.models import DepthAnything3
     from da3slam_tpu.slam.pipeline import run_streaming_slam
-
-    chunk_size, overlap = 16, 1
-    n_frames = 106  # 7 windows of 16 with step 15
-    hw = (504, 504)  # square C3VD-style crops at the reference resolution
-
-    rng = np.random.default_rng(0)
-    frames = rng.integers(0, 255, size=(n_frames, hw[0], hw[1], 3), dtype=np.uint8)
-
-    model = DepthAnything3.from_pretrained("small")
-
-    # Stage the raw uint8 frames in HBM once, outside the timed loop: this
-    # benchmark measures the SLAM compute loop (preprocess + depth + pose +
-    # align), not the dev-environment's tunneled host->device link (~40 MB/s
-    # here vs PCIe DMA on a co-located host, where ingest overlaps compute).
-    import jax.numpy as jnp
-
-    frames_dev = jnp.asarray(frames)
-    jax.block_until_ready(frames_dev)
 
     def run():
         out = run_streaming_slam(
             model.params,
             frames_dev,
             model.cfg,
-            chunk_size=chunk_size,
-            overlap=overlap,
+            chunk_size=16,
+            overlap=1,
             process_hw=hw,
+            segment_windows=segment_windows,
+            # measure the compute path: per-segment host spill is free on a
+            # co-located host (PCIe DMA) but dominates through the dev
+            # environment's ~40 MB/s tunnel
+            segment_spill="device",
         )
-        # a host fetch of a value depending on every window forces true
-        # completion (block_until_ready alone can return early through the
-        # remote-relay transport)
-        float(np.asarray(out.depth_scale).sum())
-        float(np.asarray(out.extrinsics_global[-1, -1]).sum())
+        _force(out.depth_scale, out.extrinsics_global[-1, -1])
         return out
 
     run()  # warmup / compile
     t0 = time.perf_counter()
-    n_reps = 3
     for _ in range(n_reps):
-        out = run()
-    dt = (time.perf_counter() - t0) / n_reps
+        run()
+    return frames_dev.shape[0] / ((time.perf_counter() - t0) / n_reps)
 
-    fps = n_frames / dt
-    baseline_fps = 30.0
-    print(
-        json.dumps(
-            {
-                "metric": "end_to_end_slam_fps",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / baseline_fps, 3),
-            }
-        )
+
+def bench_forward(preset: str, frames_dev, hw, n_reps=2) -> float:
+    """Plain 16-frame chunk forward FPS for a model tier."""
+    import jax
+    import jax.numpy as jnp
+
+    from da3slam_tpu.models import DepthAnything3
+    from da3slam_tpu.models.da3 import forward_fn
+    from da3slam_tpu.preprocess.device import preprocess_batch
+
+    model = DepthAnything3.from_pretrained(preset)
+    chunk = frames_dev[:16]
+
+    # params must be a jit *argument*: closing over them would bake the
+    # weights into the HLO as constants — the serialized program then
+    # exceeds the dev tunnel's remote-compile request limit (HTTP 413 at
+    # BASE size) and defeats weight reuse on a co-located host too.
+    # preprocess runs as its own jit: this bench measures model forward
+    # throughput, and the fused CLAHE+forward program miscompiles on the
+    # current axon platform at (16 frames, BASE+) — see ROADMAP.md.
+    imgs = jax.jit(lambda f: preprocess_batch(f, out_hw=hw))(chunk)
+    jax.block_until_ready(imgs)
+
+    @jax.jit
+    def step(params, imgs):
+        return forward_fn(params, imgs, model.cfg, dtype=jnp.bfloat16)
+
+    out = step(model.params, imgs)
+    _force(out["depth"][-1])
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        out = step(model.params, imgs)
+        _force(out["depth"][-1])
+    return 16 * n_reps / (time.perf_counter() - t0)
+
+
+def bench_synthetic_ate() -> float:
+    """SLAM correctness on the synthetic ground-truth world: recover a known
+    trajectory through per-chunk scale ambiguity and mild depth noise."""
+    import tempfile
+
+    from da3slam_tpu.slam import SLAMSolver
+    from da3slam_tpu.slam.evaluate import evaluate_trajectory
+    from da3slam_tpu.utils.synthetic import (
+        SyntheticDA3,
+        make_synthetic_image_dir,
+        make_trajectory,
     )
+
+    n_frames = 25
+    rng = np.random.default_rng(0)
+    poses = make_trajectory(n_frames)
+    model = SyntheticDA3(
+        poses,
+        chunk_scales=rng.uniform(0.5, 2.0, size=8),
+        depth_noise=1e-3,
+    )
+    config = {
+        "Model": {
+            "chunk_size": 6,
+            "overlap_size": 1,
+            "keyframe_interval": 1,
+            "sleep_between_chunk": 0,
+            "port": 8080,
+        }
+    }
+    with tempfile.TemporaryDirectory() as td:
+        image_dir = make_synthetic_image_dir(td, n_frames)
+        solver = SLAMSolver(image_dir, config, model=model, viewer=None)
+        solver.run()
+        c2w_est, _ = solver.trajectory()
+
+    gt = np.stack([np.linalg.inv(np.vstack([E, [0, 0, 0, 1]])) for E in poses])
+    res = evaluate_trajectory(np.asarray(c2w_est), gt, align="sim3")
+    return float(res.ate_rmse)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from da3slam_tpu.models import DepthAnything3
+
+    hw = (504, 504)  # square C3VD-style crops at the reference resolution
+    n_frames = 106  # 7 windows of 16 with step 15
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(n_frames, hw[0], hw[1], 3), dtype=np.uint8)
+
+    # Stage raw uint8 frames in HBM once, outside the timed loops: this
+    # suite measures the SLAM compute path (preprocess + depth + pose +
+    # align), not the dev environment's tunneled host->device link
+    # (~40 MB/s here vs PCIe DMA on a co-located host, where ingest
+    # overlaps compute).
+    frames_dev = jnp.asarray(frames)
+    jax.block_until_ready(frames_dev)
+
+    small = DepthAnything3.from_pretrained("small")
+
+    # the headline metric runs unguarded (a failure here should be loud);
+    # the secondary metrics each get one retry and then a skip, so a
+    # transient dev-tunnel transport error can't wipe the whole artifact
+    fps = bench_pipeline(small, frames_dev, hw)
+    _emit("end_to_end_slam_fps", fps, "frames/s", fps / BASELINE_FPS)
+
+    def guarded(name, unit, fn, to_ratio):
+        for attempt in (1, 2):
+            try:
+                v = fn()
+                _emit(name, v, unit, to_ratio(v))
+                return
+            except Exception as e:  # noqa: BLE001 — report and move on
+                print(f"# {name} attempt {attempt} failed: {e!r}", file=sys.stderr)
+
+    guarded("segmented_slam_fps", "frames/s",
+            lambda: bench_pipeline(small, frames_dev, hw, segment_windows=3, n_reps=1),
+            lambda v: v / BASELINE_FPS)
+    for preset in ("base", "large"):
+        guarded(f"forward_fps_{preset}", "frames/s",
+                lambda p=preset: bench_forward(p, frames_dev, hw),
+                lambda v: v / BASELINE_FPS)
+    guarded("synthetic_ate_rmse", "world-units",
+            bench_synthetic_ate, lambda v: ATE_BOUND / max(v, 1e-9))
 
 
 if __name__ == "__main__":
