@@ -237,7 +237,14 @@ def so3_log(R: jax.Array) -> jax.Array:
     """Rotation matrix → rotation vector ``[..., 3]`` (inverse of so3_exp)."""
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((tr - 1) / 2, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    # θ ≲ 4.5e-4: identity neighbourhood (threshold must be representable
+    # in f32 — 1-1e-12 would round to 1.0 and never fire)
+    small = cos_theta > 1.0 - 1e-7
+    # double-where: arccos' reverse-mode gradient is -1/√(1-x²) = -inf at
+    # x = 1; even though the `small` branch discards θ there, reverse-mode
+    # multiplies the discarded branch's cotangent (0 · inf = NaN).  Feed
+    # arccos a safe input where its output is unused.
+    theta = jnp.arccos(jnp.where(small, 0.0, cos_theta))
     vee = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -246,7 +253,6 @@ def so3_log(R: jax.Array) -> jax.Array:
         ],
         axis=-1,
     )
-    small = theta < 1e-6
     # sin(theta) ≈ theta near zero → factor ≈ 1/2
     factor = jnp.where(
         small, 0.5, theta / jnp.maximum(2 * jnp.sin(theta), 1e-12)

@@ -12,8 +12,19 @@ M (chunk_j → chunk_i coords) is the 7-vector local chart
     r = [log s_e, so3_log(R_e), t_e]   where   E = S_i ∘ M ∘ S_j^{-1}
     (E = identity ⟺ the edge is satisfied)
 
-Jacobians come from JAX autodiff; the normal equations are dense (the graph
-has tens of nodes — one per chunk), solved with LM damping.
+Jacobians come from JAX autodiff.  Two solvers share one LM outer loop:
+
+- ``dense`` — explicit ``jacfwd`` Jacobian + dense normal equations.  Right
+  for the common case (tens of nodes — one per chunk): one small matmul and
+  a tiny Cholesky-sized solve.
+- ``cg`` — matrix-free LM-CG for long sequences.  Each edge touches exactly
+  two nodes, so J is block-sparse; instead of materialising it, the damped
+  Hessian product (JᵀJ + λI)v is computed as ``vjp(jvp(v))`` — two O(E)
+  residual-shaped passes — and the step solved by conjugate gradients
+  inside one jit (``lax.while_loop``).  Cost per LM iteration is
+  O(E · cg_iters) instead of O((7K)³); memory is O(E + K).
+
+``solver="auto"`` picks dense below ~100 nodes and CG above.
 """
 
 from __future__ import annotations
@@ -69,10 +80,34 @@ def _edge_residuals(
         # linearly, not quadratically, so one bad loop edge cannot dominate
         # the normal equations (a false loop otherwise corrupts the whole
         # trajectory — the reference's disabled loop stage had no kernel)
-        n = jnp.linalg.norm(r, axis=-1)
+        # safe norm: plain jnp.linalg.norm has a 0/0 reverse-mode gradient
+        # at exactly-satisfied edges (r = 0), which poisons the CG solver's
+        # vjp with NaNs (forward-mode jacfwd happens to select it away)
+        n = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-24)
         scale = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(n, 1e-12)))
         r = r * scale[:, None]
     return r.reshape(-1)
+
+
+def _cg(Av, b, maxiter: int, tol2):
+    """Conjugate gradients on Av x = b from x₀ = 0 (device-resident loop)."""
+
+    def cond(state):
+        _, _, _, rs, k = state
+        return (k < maxiter) & (rs > tol2)
+
+    def body(state):
+        x, r, p, rs, k = state
+        Ap = Av(p)
+        alpha = rs / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.vdot(r, r)
+        p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
+        return (x, r, p, rs_new, k + 1)
+
+    state = (jnp.zeros_like(b), b, b, jnp.vdot(b, b), jnp.asarray(0))
+    return jax.lax.while_loop(cond, body, state)[0]
 
 
 def optimize_sim3_pose_graph(
@@ -82,17 +117,25 @@ def optimize_sim3_pose_graph(
     lambda_init: float = 1e-6,
     fix_first: bool = True,
     huber_delta: float | None = 0.1,
+    solver: str = "auto",
+    cg_maxiter: int | None = None,
 ) -> Sim3:
     """LM optimisation; node 0 (the global anchor chunk) stays fixed.
 
     ``huber_delta`` bounds any single edge's influence (robust kernel in the
-    residual); ``None`` restores plain least squares.
+    residual); ``None`` restores plain least squares.  ``solver`` is
+    "dense" | "cg" | "auto" (see module docstring); ``cg_maxiter`` caps the
+    inner CG iterations (default: number of free parameters, capped at 250).
     """
+    if solver not in ("auto", "dense", "cg"):
+        raise ValueError(f"solver must be auto|dense|cg, got {solver!r}")
     x0 = np.asarray(_sim3_to_params(nodes_init))
     K = x0.shape[0]
     free = np.ones(K * 7, bool)
     if fix_first:
         free[:7] = False
+    n_free = int(free.sum())
+    use_cg = solver == "cg" or (solver == "auto" and n_free > 700)
 
     free_idx = jnp.asarray(np.where(free)[0])
 
@@ -102,19 +145,46 @@ def optimize_sim3_pose_graph(
         return _edge_residuals(x.reshape(K, 7), edges, huber_delta=huber_delta)
 
     res_fn = jax.jit(residual_flat)
-    jac_fn = jax.jit(jax.jacfwd(residual_flat))
+
+    if use_cg:
+        maxiter = cg_maxiter if cg_maxiter is not None else min(n_free, 250)
+
+        @jax.jit
+        def step_fn(x_free, lam):
+            # linearise once at x_free; (JᵀJ + λI)v by jvp/vjp round trips
+            r, jvp_fn = jax.linearize(residual_flat, x_free)
+            vjp_fn = jax.linear_transpose(jvp_fn, x_free)
+            (g,) = vjp_fn(r)
+
+            def Av(v):
+                (JtJv,) = vjp_fn(jvp_fn(v))
+                return JtJv + lam * v
+
+            # inexact-Newton forcing: solve to 1% of the gradient norm
+            tol2 = 1e-4 * jnp.vdot(g, g)
+            return _cg(Av, -g, maxiter, tol2)
+
+        def trial_step(x_free, _cache, lam):
+            return step_fn(x_free, jnp.asarray(lam, x_free.dtype)), _cache
+    else:
+        jac_fn = jax.jit(jax.jacfwd(residual_flat))
+
+        def trial_step(x_free, cache, lam):
+            if cache is None:
+                J = jac_fn(x_free)
+                r = res_fn(x_free)
+                cache = (J.T @ J, J.T @ r)
+            H, g = cache
+            return jnp.linalg.solve(H + lam * jnp.eye(H.shape[0]), -g), cache
 
     x_free = jnp.asarray(x0.reshape(-1)[free])
     lam = lambda_init
     cost = float(jnp.sum(res_fn(x_free) ** 2))
     for _ in range(max_iterations):
-        r = res_fn(x_free)
-        J = jac_fn(x_free)
-        H = J.T @ J
-        g = J.T @ r
+        cache = None
         step_accepted = False
         for _try in range(8):
-            delta = jnp.linalg.solve(H + lam * jnp.eye(H.shape[0]), -g)
+            delta, cache = trial_step(x_free, cache, lam)
             x_new = x_free + delta
             new_cost = float(jnp.sum(res_fn(x_new) ** 2))
             if new_cost < cost:
