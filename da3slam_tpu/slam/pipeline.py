@@ -191,22 +191,37 @@ def run_streaming_slam(
     on_device_frames = isinstance(frames, jax.Array)
     if not on_device_frames:
         frames = np.asarray(frames)
-    outputs = []
-    carry = None
-    for s0 in range(0, idx.shape[0], segment_windows):
+
+    starts = list(range(0, idx.shape[0], segment_windows))
+
+    def stage(s0):
+        """Segment's (frames, rebased idx, anchors) with frames staged in HBM.
+
+        ``jax.device_put`` dispatches the upload asynchronously, so calling
+        this for segment k+1 right after dispatching segment k's scan
+        double-buffers: the host→device copy rides under the compute.
+        """
         seg_idx = idx[s0 : s0 + segment_windows]
-        seg_anchors = anchors[s0 : s0 + segment_windows]
         f_lo, f_hi = int(seg_idx.min()), int(seg_idx.max()) + 1
         if on_device_frames:
             # already in HBM: slice device-side, no host round-trip
             seg_frames = jax.lax.slice_in_dim(frames, f_lo, f_hi, axis=0)
         else:
-            seg_frames = jnp.asarray(frames[f_lo:f_hi])  # upload one segment
+            seg_frames = jax.device_put(frames[f_lo:f_hi])
+        return seg_frames, jnp.asarray(seg_idx - f_lo), jnp.asarray(
+            anchors[s0 : s0 + segment_windows]
+        )
+
+    outputs = []
+    carry = None
+    staged = stage(starts[0])
+    for k, s0 in enumerate(starts):
+        seg_frames, seg_idx_dev, seg_anchors_dev = staged
         out, carry = run_pipeline(
             params,
             seg_frames,
-            jnp.asarray(seg_idx - f_lo),
-            jnp.asarray(seg_anchors),
+            seg_idx_dev,
+            seg_anchors_dev,
             cfg,
             align_config,
             attn_impl,
@@ -214,6 +229,9 @@ def run_streaming_slam(
             process_hw,
             carry=carry,
         )
+        if k + 1 < len(starts):  # prefetch while this segment computes
+            staged = stage(starts[k + 1])
+        # the host fetch (spill) below is what blocks on the compute
         outputs.append(jax.tree.map(np.asarray, out) if segment_spill == "host" else out)
     cat = np.concatenate if segment_spill == "host" else jnp.concatenate
     return PipelineOutput(*[cat(parts) for parts in zip(*outputs)])
