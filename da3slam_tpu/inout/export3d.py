@@ -132,17 +132,26 @@ def export_3dgs_ply(
     path: str | Path,
     points: np.ndarray,  # [N, 3] world positions
     colors: np.ndarray,  # [N, 3] uint8 or float
-    scales: np.ndarray,  # [N] isotropic metric radius per splat
+    scales: np.ndarray,  # [N] isotropic radius, or [N, 3] per-axis radii
     opacity: np.ndarray,  # [N] in (0, 1)
+    rotations: np.ndarray | None = None,  # [N, 4] unit quats (w,x,y,z)
 ) -> None:
-    """Write gaussians in the standard INRIA 3DGS PLY layout (binary LE)."""
+    """Write gaussians in the standard INRIA 3DGS PLY layout (binary LE).
+
+    ``scales`` may be per-splat isotropic radii ([N]) or per-axis radii
+    ([N, 3]) paired with ``rotations`` — the quaternion whose rotation
+    matrix columns are the splat's principal axes (INRIA convention:
+    covariance = R diag(s²) Rᵀ)."""
     n = points.shape[0]
     colors = np.asarray(colors, np.float32)
-    if colors.max() > 1.0:
+    if colors.size and colors.max() > 1.0:
         colors = colors / 255.0
     f_dc = (colors - 0.5) / _SH_C0
     # stored quantities are pre-activation: log scale, logit opacity
-    log_scales = np.log(np.maximum(np.asarray(scales, np.float32), 1e-8))
+    scales = np.asarray(scales, np.float32)
+    if scales.ndim == 1:
+        scales = scales[:, None] * np.ones((1, 3), np.float32)
+    log_scales = np.log(np.maximum(scales, 1e-8))
     op = np.clip(np.asarray(opacity, np.float32), 1e-4, 1 - 1e-4)
     logit_op = np.log(op / (1 - op))
 
@@ -150,8 +159,13 @@ def export_3dgs_ply(
     data[:, 0:3] = points
     data[:, 6:9] = f_dc
     data[:, 9] = logit_op
-    data[:, 10:13] = log_scales[:, None]
-    data[:, 13] = 1.0  # identity rotation quaternion (w,x,y,z)
+    data[:, 10:13] = log_scales
+    if rotations is None:
+        data[:, 13] = 1.0  # identity rotation quaternion (w,x,y,z)
+    else:
+        q = np.asarray(rotations, np.float32)
+        q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        data[:, 13:17] = q
 
     header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
     header += [f"property float {p}" for p in _3DGS_PROPS]
@@ -164,15 +178,82 @@ def export_3dgs_ply(
         f.write(np.ascontiguousarray(data, "<f4").tobytes())
 
 
+def _splat_frames(
+    pts: np.ndarray, max_ratio: float = 8.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Surface-aligned splat frames from the world point grid ``[H, W, 3]``.
+
+    Tangents are the pixel-space gradients of the world points, so each
+    splat's disk lies in the local surface plane (slanted walls get slanted,
+    stretched splats instead of view-facing discs); the third axis is the
+    surface normal, flattened to a thin pancake.  Anisotropy is capped at
+    ``max_ratio`` so depth-discontinuity pixels don't become spears.
+
+    Returns ``(scales [H, W, 3], quats [H, W, 4] wxyz)``.
+    """
+    t_v, t_u = np.gradient(pts, axis=(0, 1))  # [H, W, 3] each
+    len_u = np.linalg.norm(t_u, axis=-1)
+    len_v = np.linalg.norm(t_v, axis=-1)
+
+    e1 = t_u / np.maximum(len_u[..., None], 1e-12)
+    n = np.cross(t_u, t_v)
+    n_len = np.linalg.norm(n, axis=-1, keepdims=True)
+    e3 = n / np.maximum(n_len, 1e-12)
+    e2 = np.cross(e3, e1)
+
+    # cap elongation relative to the smaller tangent footprint
+    base = np.minimum(len_u, len_v)
+    s1 = np.minimum(len_u, max_ratio * np.maximum(base, 1e-12))
+    s2 = np.minimum(len_v, max_ratio * np.maximum(base, 1e-12))
+    s3 = 0.1 * base  # pancake thickness along the normal
+    scales = np.stack([s1, s2, s3], axis=-1)
+
+    R = np.stack([e1, e2, e3], axis=-1)  # columns = principal axes
+    # degenerate frames (zero-length tangent / normal) → identity
+    ok = (len_u > 1e-12) & (len_v > 1e-12) & (n_len[..., 0] > 1e-12)
+    R = np.where(ok[..., None, None], R, np.eye(3, dtype=R.dtype))
+    quats = _rotmat_to_quat_np(R)
+    return scales.astype(np.float32), quats.astype(np.float32)
+
+
+def _rotmat_to_quat_np(R: np.ndarray) -> np.ndarray:
+    """Batched rotation matrix → (w,x,y,z) quaternion, branch-free numpy
+    (Shepperd's method via the largest of the four squared components)."""
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    qs = np.stack(
+        [
+            np.stack([1 + tr, m21 - m12, m02 - m20, m10 - m01], -1),
+            np.stack([m21 - m12, 1 + m00 - m11 - m22, m01 + m10, m02 + m20], -1),
+            np.stack([m02 - m20, m01 + m10, 1 - m00 + m11 - m22, m12 + m21], -1),
+            np.stack([m10 - m01, m02 + m20, m12 + m21, 1 - m00 - m11 + m22], -1),
+        ],
+        axis=-2,
+    )  # [..., 4 candidates, 4]
+    # candidate k has leading component 2*sqrt(kk-term); pick the largest
+    lead = np.stack([1 + tr, 1 + m00 - m11 - m22, 1 - m00 + m11 - m22,
+                     1 - m00 - m11 + m22], -1)
+    best = np.argmax(lead, axis=-1)
+    q = np.take_along_axis(qs, best[..., None, None], axis=-2)[..., 0, :]
+    return q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
 def prediction_to_3dgs(
     prediction,
     path: str | Path,
     stride: int = 2,
     conf_threshold: float = 1.0,
     opacity_scale: float = 0.5,
+    anisotropic: bool = True,
 ) -> int:
-    """Depth+conf prediction → 3DGS PLY.  Splat radius = metric pixel
-    footprint ``stride * z / fx``; opacity from normalised confidence.
+    """Depth+conf prediction → 3DGS PLY.
+
+    ``anisotropic=True`` (default) aligns each splat with the local surface
+    from depth gradients (tangent-plane disks, thin along the normal);
+    ``False`` restores isotropic balls of the metric pixel footprint
+    ``stride * z / fx``.  Opacity comes from normalised confidence.
     Returns the number of gaussians written."""
     import jax.numpy as jnp
 
@@ -188,19 +269,25 @@ def prediction_to_3dgs(
     )
     cols = np.asarray(prediction.processed_images)
 
-    N = depth.shape[0]
-    fx = K[:, 0, 0][:, None, None]
-    radius = stride * depth / fx  # metric footprint of a (strided) pixel
-
-    pts_s = pts[:, ::stride, ::stride].reshape(-1, 3)
+    pts_g = pts[:, ::stride, ::stride]
+    pts_s = pts_g.reshape(-1, 3)
     cols_s = cols[:, ::stride, ::stride].reshape(-1, 3)
     conf_s = conf[:, ::stride, ::stride].reshape(-1)
-    rad_s = radius[:, ::stride, ::stride].reshape(-1)
     d_s = depth[:, ::stride, ::stride].reshape(-1)
 
     keep = (conf_s >= conf_threshold) & (d_s > 1e-6) & np.isfinite(pts_s).all(axis=1)
     c = conf_s[keep]
     # map confidence to opacity: 1.0 (contract floor) → ~0.27, high conf → ~1
     op = 1.0 - np.exp(-opacity_scale * np.maximum(c - 1.0 + 0.6, 0.0))
-    export_3dgs_ply(path, pts_s[keep], cols_s[keep], rad_s[keep], op)
+
+    if anisotropic:
+        frames = [_splat_frames(p) for p in pts_g]  # per view (no cross-view grads)
+        scales = np.concatenate([f[0].reshape(-1, 3) for f in frames])[keep]
+        quats = np.concatenate([f[1].reshape(-1, 4) for f in frames])[keep]
+        export_3dgs_ply(path, pts_s[keep], cols_s[keep], scales, op, rotations=quats)
+    else:
+        fx = K[:, 0, 0][:, None, None]
+        radius = stride * depth / fx  # metric footprint of a (strided) pixel
+        rad_s = radius[:, ::stride, ::stride].reshape(-1)
+        export_3dgs_ply(path, pts_s[keep], cols_s[keep], rad_s[keep], op)
     return int(keep.sum())

@@ -73,6 +73,86 @@ class TestPly:
         assert pts.shape == (30, 3)
 
 
+class TestAnisotropic3DGS:
+    def _read_3dgs(self, path):
+        blob = path.read_bytes()
+        header_end = blob.index(b"end_header\n") + len(b"end_header\n")
+        header = blob[:header_end].decode("ascii")
+        n = int([l for l in header.split("\n") if l.startswith("element vertex")][0].split()[-1])
+        n_props = sum(1 for l in header.split("\n") if l.startswith("property"))
+        return header, np.frombuffer(blob[header_end:], "<f4").reshape(n, n_props)
+
+    def test_surface_aligned_splats_on_slanted_plane(self, tmp_path):
+        """A 45°-slanted plane: every splat's thin axis (3rd column of the
+        stored rotation) must match the plane normal, and the tangent radii
+        must exceed the pancake thickness."""
+        from da3slam_tpu.inout.export3d import _splat_frames
+
+        H = W = 24
+        fx = fy = 30.0
+        cx = cy = 12.0
+        u = np.arange(W)[None, :].repeat(H, 0)
+        v = np.arange(H)[:, None].repeat(W, 1)
+        # plane z = 2 + x in camera coords → n ∝ (1, 0, -1)/√2
+        z = (2.0 * fx) / (fx - (u - cx))
+        x = (u - cx) / fx * z
+        y = (v - cy) / fy * z
+        pts = np.stack([x, y, z], -1)
+
+        scales, quats = _splat_frames(pts)
+        w_, qx, qy, qz = quats[..., 0], quats[..., 1], quats[..., 2], quats[..., 3]
+        # third rotation column = splat normal axis
+        n3 = np.stack([2 * (qx * qz + w_ * qy),
+                       2 * (qy * qz - w_ * qx),
+                       1 - 2 * (qx * qx + qy * qy)], -1)
+        expect = np.array([1.0, 0.0, -1.0]) / np.sqrt(2)
+        inner = np.abs(n3 @ expect)  # sign-insensitive
+        assert inner[2:-2, 2:-2].min() > 0.999
+        # pancake: normal-axis scale well under tangent scales
+        assert (scales[..., 2] < 0.2 * scales[..., :2].min(-1)).all()
+
+    def test_ply_carries_rotations_and_3_scales(self, tmp_path):
+        from da3slam_tpu.inout.export3d import export_3dgs_ply
+
+        rng = np.random.default_rng(0)
+        n = 50
+        pts = rng.normal(size=(n, 3)).astype(np.float32)
+        cols = rng.integers(0, 255, (n, 3), dtype=np.uint8)
+        scales = np.abs(rng.normal(size=(n, 3))).astype(np.float32) + 0.1
+        quats = rng.normal(size=(n, 4)).astype(np.float32)
+        quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+        op = rng.uniform(0.1, 0.9, n).astype(np.float32)
+        export_3dgs_ply(tmp_path / "a.ply", pts, cols, scales, op, rotations=quats)
+        header, data = self._read_3dgs(tmp_path / "a.ply")
+        assert "property float rot_3" in header
+        np.testing.assert_allclose(data[:, 10:13], np.log(scales), atol=1e-5)
+        # stored quats equal input up to normalisation (they were unit already)
+        dots = np.abs(np.sum(data[:, 13:17] * quats, axis=-1))
+        np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+
+    def test_rotmat_to_quat_all_branches(self):
+        from da3slam_tpu.inout.export3d import _rotmat_to_quat_np
+
+        def quat_to_R(q):
+            w, x, y, z = q
+            return np.array([
+                [1-2*(y*y+z*z), 2*(x*y-w*z), 2*(x*z+w*y)],
+                [2*(x*y+w*z), 1-2*(x*x+z*z), 2*(y*z-w*x)],
+                [2*(x*z-w*y), 2*(y*z+w*x), 1-2*(x*x+y*y)]])
+
+        rng = np.random.default_rng(3)
+        qs = rng.normal(size=(64, 4))
+        qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+        # include near-π rotations about each axis (each argmax branch)
+        for ax in range(3):
+            v = np.zeros(4); v[ax + 1] = 1.0; v[0] = 1e-4
+            qs = np.vstack([qs, v / np.linalg.norm(v)])
+        Rs = np.stack([quat_to_R(q) for q in qs])
+        out = _rotmat_to_quat_np(Rs)
+        dots = np.abs(np.sum(out * qs, axis=-1))
+        np.testing.assert_allclose(dots, 1.0, atol=1e-6)
+
+
 class TestTrajectory:
     def test_formats(self, tmp_path):
         rng = np.random.default_rng(1)
