@@ -1,0 +1,206 @@
+"""Pipeline-parallel (pp) encoder forward for the big DA3 tiers.
+
+GPipe-style microbatch pipelining expressed the TPU way: the encoder's
+block stack is split into ``n_stages`` contiguous stages whose parameters
+are *stacked* along a leading stage axis and sharded over the mesh's
+``pp`` axis — each device holds ``depth / n_stages`` blocks.  Microbatches
+of view-chunks flow through a ``shard_map``: every pipeline tick each
+stage applies its local blocks, then hands its activations to the next
+stage with a single ``ppermute`` hop over ICI.  The classic GPipe bubble
+applies: utilisation is ``M / (M + S - 1)`` for M microbatches on S
+stages.
+
+Two DA3-specific wrinkles, both handled on-device:
+
+- **Alternating intra-/cross-view blocks.**  Whether a block is
+  cross-view depends on its *global* index, which mixes the (traced)
+  stage id with the (static) local offset — so each block applies via
+  ``lax.cond`` on the computed flag instead of Python control flow.
+- **DPT taps.**  The head reads activations from four interior layers
+  (``cfg.dpt_layers``), which generally live on different stages.  Each
+  microbatch therefore carries a tap buffer ``[n_taps, N, S, D]`` along
+  the pipeline; the stage whose block matches a tap layer writes into it,
+  and the buffer rides the same ``ppermute`` as the activations.
+
+The giant tier (40 blocks, 1.5 GB bf16) fits one v5e chip, so pp is about
+*scaling headroom* (weight memory per chip shrinks by the stage count)
+and validating the full tp/pp/dp/sp story on the virtual mesh — see
+``tests/test_pp_forward.py`` and ``__graft_entry__.dryrun_multichip``.
+
+Reference parity note: the reference has no distributed story at all (its
+model runs single-GPU through torch, SURVEY.md §5.8); this module is part
+of the framework's TPU-native scale-out surface.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from da3slam_tpu.models.config import ModelConfig
+from da3slam_tpu.models import vit
+
+
+def split_encoder_params(params: Any, n_stages: int, mesh: Mesh | None = None):
+    """Encoder params → (stage-stacked block pytree, rest).
+
+    The block list becomes a pytree whose leaves have a leading
+    ``[n_stages, depth // n_stages, ...]`` axis; with ``mesh`` given, the
+    leaves are placed sharded over the mesh's ``pp`` axis (stage s's
+    weights live only on pipeline rank s).
+    """
+    blocks = params["blocks"]
+    depth = len(blocks)
+    if depth % n_stages != 0:
+        raise ValueError(f"n_stages={n_stages} must divide depth={depth}")
+    per = depth // n_stages
+    stages = [
+        jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[s * per : (s + 1) * per])
+        for s in range(n_stages)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
+    if mesh is not None:
+        spec = NamedSharding(mesh, P("pp"))
+        stacked = jax.tree.map(lambda x: jax.device_put(x, spec), stacked)
+    rest = {k: v for k, v in params.items() if k != "blocks"}
+    return stacked, rest
+
+
+def _embed(rest: Any, images: jax.Array, cfg: ModelConfig, dtype) -> jax.Array:
+    """Patch embed + pos embed + prefix tokens for one microbatch
+    (vit.encode's pre-block stage, kept replicated — it is tiny)."""
+    N, H, W, _ = images.shape
+    Pz = cfg.patch_size
+    hp, wp = H // Pz, W // Pz
+    x = jax.lax.conv_general_dilated(
+        images.astype(dtype),
+        rest["patch_embed"]["kernel"].astype(dtype),
+        window_strides=(Pz, Pz),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + rest["patch_embed"]["bias"].astype(dtype)
+    x = x.reshape(N, hp * wp, cfg.embed_dim)
+    x = x + vit.interpolate_pos_embed(rest["pos_embed"], hp, wp).astype(dtype)
+    cam = jnp.broadcast_to(rest["camera_token"].astype(dtype), (N, 1, cfg.embed_dim))
+    reg = jnp.broadcast_to(
+        rest["register_tokens"].astype(dtype),
+        (N, cfg.num_register_tokens, cfg.embed_dim),
+    )
+    return jnp.concatenate([cam, reg, x], axis=1)  # [N, S, D]
+
+
+def make_pp_encode(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    n_stages: int | None = None,
+    attn_impl: str = "xla",
+    dtype=jnp.float32,
+):
+    """Build the pipelined encoder forward.
+
+    Returns ``encode_pp(stage_params, rest, images_mb)`` with
+    ``images_mb: [M, N, H, W, 3]`` (M microbatches of N views), producing
+    ``(taps [M, n_taps, N, S, D], final [M, N, S, D])`` — the same
+    contract as ``vit.encode`` per microbatch, so the DPT/camera heads
+    apply unchanged downstream.
+    """
+    if n_stages is None:
+        n_stages = mesh.shape["pp"]
+    if mesh.shape["pp"] != n_stages:
+        raise ValueError(
+            f"mesh pp axis is {mesh.shape['pp']}, expected {n_stages} stages"
+        )
+    if cfg.depth % n_stages != 0:
+        raise ValueError(f"n_stages={n_stages} must divide depth={cfg.depth}")
+    per = cfg.depth // n_stages
+    n_taps = len(cfg.dpt_layers)
+    S = n_stages
+    interval = cfg.cross_view_interval
+
+    def stage_apply(local_blocks, x, taps, stage_id):
+        """Apply this device's ``per`` blocks; write matching DPT taps."""
+        for j in range(per):
+            bp = jax.tree.map(lambda a, j=j: a[0, j], local_blocks)
+            g = stage_id * per + j  # global block index (traced)
+            is_cross = (g % interval) == (interval - 1)
+
+            def cross_branch(args):
+                bp_, x_ = args
+                return vit._block(bp_, x_, cfg.num_heads, True, attn_impl)
+
+            def intra_branch(args):
+                bp_, x_ = args
+                return vit._block(bp_, x_, cfg.num_heads, False, attn_impl)
+
+            x = jax.lax.cond(is_cross, cross_branch, intra_branch, (bp, x))
+            for k, layer in enumerate(cfg.dpt_layers):
+                taps = taps.at[k].set(jnp.where(g == layer, x, taps[k]))
+        return x, taps
+
+    def pp_body(stage_params, x_mb):
+        """shard_map body: x_mb [M, N, S_tok, D] replicated; stage params
+        local ``[1, per, ...]``.  GPipe schedule over M + S - 1 ticks."""
+        stage_id = jax.lax.axis_index("pp")
+        M = x_mb.shape[0]
+        # mark the carry buffers device-varying over pp up front, or the
+        # scan's carry-type check rejects the unvarying→varying promotion
+        vary = lambda a: jax.lax.pcast(a, ("pp",), to="varying")  # noqa: E731
+        zeros_x = vary(jnp.zeros_like(x_mb[0]))
+        zeros_taps = vary(jnp.zeros((n_taps,) + x_mb.shape[1:], x_mb.dtype))
+        outs_x = vary(jnp.zeros((M,) + x_mb.shape[1:], x_mb.dtype))
+        outs_taps = vary(jnp.zeros((M, n_taps) + x_mb.shape[1:], x_mb.dtype))
+        perm = [(i, (i + 1) % S) for i in range(S)]
+
+        def tick(carry, t):
+            prev_x, prev_taps, ox, ot = carry
+            # hand the previous tick's outputs one stage down the ring
+            in_x = jax.lax.ppermute(prev_x, "pp", perm)
+            in_taps = jax.lax.ppermute(prev_taps, "pp", perm)
+            # stage 0 ingests microbatch t instead (clamped when drained)
+            mb = jax.lax.dynamic_index_in_dim(
+                x_mb, jnp.clip(t, 0, M - 1), 0, keepdims=False
+            )
+            first = stage_id == 0
+            in_x = jnp.where(first, mb, in_x)
+            in_taps = jnp.where(first, zeros_taps, in_taps)
+            out_x, out_taps = stage_apply(stage_params, in_x, in_taps, stage_id)
+            # the last stage completes microbatch t - (S-1) at tick t
+            idx = jnp.clip(t - (S - 1), 0, M - 1)
+            write = (stage_id == S - 1) & (t >= S - 1)
+            ox = jax.lax.dynamic_update_index_in_dim(
+                ox, jnp.where(write, out_x, ox[idx]), idx, 0
+            )
+            ot = jax.lax.dynamic_update_index_in_dim(
+                ot, jnp.where(write, out_taps, ot[idx]), idx, 0
+            )
+            return (out_x, out_taps, ox, ot), None
+
+        (_, _, outs_x, outs_taps), _ = jax.lax.scan(
+            tick, (zeros_x, zeros_taps, outs_x, outs_taps), jnp.arange(M + S - 1)
+        )
+        # expose per-stage buffers; only the last stage's are meaningful
+        return outs_x[None], outs_taps[None]
+
+    sharded = shard_map(
+        pp_body,
+        mesh=mesh,
+        in_specs=(P("pp"), P()),
+        out_specs=(P("pp"), P("pp")),
+    )
+
+    @functools.partial(jax.jit, static_argnames=())
+    def encode_pp(stage_params, rest, images_mb):
+        M = images_mb.shape[0]
+        x_mb = jax.vmap(lambda im: _embed(rest, im, cfg, dtype))(images_mb)
+        outs_x, outs_taps = sharded(stage_params, x_mb)
+        final_x = outs_x[S - 1]  # [M, N, S_tok, D] from the last stage
+        taps = outs_taps[S - 1]  # [M, n_taps, N, S_tok, D]
+        final = jax.vmap(lambda x: vit.layer_norm(rest["norm"], x))(final_x)
+        return taps, final
+
+    return encode_pp
