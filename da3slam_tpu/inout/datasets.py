@@ -1,0 +1,104 @@
+"""Dataset loaders for evaluation harnesses.
+
+C3VD (the reference pipeline's target domain — colonoscopy video with
+registered ground truth; configs/config1.yaml crop presets reference its
+capture geometry) ships per-sequence folders of:
+
+    0000_color.png       RGB frame
+    0000_depth.tiff      16-bit depth, 0..65535 ↦ 0..100 mm
+    pose.txt             one 4×4 cam-to-world per line, row-major,
+                         comma-separated, translations in millimetres
+
+This loader maps that layout onto the framework's conventions (c2w float
+metres, depth [H, W] float metres) so a SLAM run can be scored against
+ground truth with ``cli/evaluate.py`` (ATE/RPE + Eigen depth metrics).
+It is intentionally tolerant: sequences with no depth or no poses load
+with those fields as ``None`` (trajectory-only / depth-only scoring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+# C3VD units: 16-bit depth spans 0..100 mm; poses are in millimetres.
+C3VD_DEPTH_SCALE_M = 0.100 / 65535.0
+C3VD_POSE_UNIT_M = 1e-3
+
+
+@dataclass
+class SequenceData:
+    image_paths: list[Path]
+    depth_paths: list[Path] | None
+    poses_c2w: np.ndarray | None  # [N, 4, 4] float64, metres
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+
+def _load_pose_file(path: Path, unit: float) -> np.ndarray:
+    rows = []
+    for line in path.read_text().strip().splitlines():
+        vals = [float(v) for v in line.replace(",", " ").split()]
+        if len(vals) != 16:
+            raise ValueError(
+                f"{path}: expected 16 values per pose line, got {len(vals)}"
+            )
+        T = np.asarray(vals, np.float64).reshape(4, 4)
+        T[:3, 3] *= unit
+        rows.append(T)
+    return np.stack(rows)
+
+
+def load_c3vd_sequence(
+    seq_dir: str | Path,
+    pose_unit: float = C3VD_POSE_UNIT_M,
+) -> SequenceData:
+    """Load one C3VD-layout sequence directory (see module docstring)."""
+    seq_dir = Path(seq_dir)
+    images = sorted(seq_dir.glob("*_color.png"))
+    if not images:
+        # plain frame dirs work too (numeric names, any extension)
+        from da3slam_tpu.inout.images import load_image_paths
+
+        images = [Path(p) for p in load_image_paths(seq_dir)]
+    if not images:
+        raise FileNotFoundError(f"no frames found in {seq_dir}")
+
+    depths = sorted(seq_dir.glob("*_depth.tiff")) or sorted(
+        seq_dir.glob("*_depth.png")
+    )
+    if depths and len(depths) != len(images):
+        raise ValueError(
+            f"{seq_dir}: {len(images)} frames but {len(depths)} depth maps"
+        )
+
+    poses = None
+    pose_file = seq_dir / "pose.txt"
+    if pose_file.exists():
+        poses = _load_pose_file(pose_file, pose_unit)
+        if len(poses) != len(images):
+            raise ValueError(
+                f"{seq_dir}: {len(images)} frames but {len(poses)} poses"
+            )
+    return SequenceData(images, depths or None, poses)
+
+
+def read_c3vd_depth(path: str | Path, scale: float = C3VD_DEPTH_SCALE_M) -> np.ndarray:
+    """16-bit depth image → float32 metres ([H, W]); zero stays zero
+    (invalid)."""
+    from PIL import Image
+
+    raw = np.asarray(Image.open(path))
+    if raw.ndim != 2:
+        raise ValueError(f"{path}: expected single-channel depth, got {raw.shape}")
+    return raw.astype(np.float32) * scale
+
+
+def load_depth_stack(seq: SequenceData) -> np.ndarray | None:
+    """All ground-truth depth maps of a sequence as ``[N, H, W]`` metres."""
+    if seq.depth_paths is None:
+        return None
+    return np.stack([read_c3vd_depth(p) for p in seq.depth_paths])

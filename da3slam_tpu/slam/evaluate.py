@@ -1,10 +1,11 @@
-"""Trajectory evaluation: ATE and RPE.
+"""Trajectory + depth evaluation: ATE/RPE and the Eigen depth metrics.
 
 The BASELINE metric is ATE parity vs the reference pipeline; the reference
 itself ships no evaluation tooling (SURVEY.md §6), so this supplies it:
 absolute trajectory error after optional Sim(3)/SE(3) alignment (monocular
 trajectories are scale-ambiguous — Sim(3) alignment is the standard
-protocol) and relative pose error over a frame delta.
+protocol), relative pose error over a frame delta, and the standard
+monocular depth metrics (AbsRel/RMSE/δ) with per-frame median scaling.
 """
 
 from __future__ import annotations
@@ -85,4 +86,79 @@ def evaluate_trajectory(
         rpe_trans_rmse=rpe_t,
         rpe_rot_deg_rmse=rpe_r,
         scale=s,
+    )
+
+
+class DepthErrors(NamedTuple):
+    abs_rel: float
+    sq_rel: float
+    rmse: float
+    rmse_log: float
+    delta1: float  # fraction with max(pred/gt, gt/pred) < 1.25
+    delta2: float  # ... < 1.25²
+    delta3: float  # ... < 1.25³
+    scale: float  # per-frame median scale applied (mean over frames)
+    n_valid: int
+
+
+def evaluate_depth(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    mask: np.ndarray | None = None,
+    align: str = "median",
+    min_depth: float = 1e-6,
+    max_depth: float | None = None,
+) -> DepthErrors:
+    """Standard monocular depth metrics over ``[N, H, W]`` (or ``[H, W]``)
+    stacks (Eigen protocol: AbsRel/SqRel/RMSE/RMSElog/δ-thresholds).
+
+    align: "median" (per-frame median scaling — the protocol for
+    scale-ambiguous predictions), "none".  ``mask`` marks valid gt pixels;
+    gt outside (min_depth, max_depth) is always excluded.
+    """
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    if pred.ndim == 2:
+        pred, gt = pred[None], gt[None]
+        if mask is not None:
+            mask = np.asarray(mask)[None]
+    if pred.shape != gt.shape:
+        raise ValueError(f"depth shapes differ: {pred.shape} vs {gt.shape}")
+    if align not in ("median", "none"):
+        raise ValueError(f"align must be median|none, got {align!r}")
+
+    valid = gt > min_depth
+    if max_depth is not None:
+        valid &= gt < max_depth
+    if mask is not None:
+        valid &= np.asarray(mask, bool)
+    valid &= np.isfinite(pred) & (pred > 0)
+
+    p_list, g_list, scales = [], [], []
+    for f in range(pred.shape[0]):
+        m = valid[f]
+        if not m.any():
+            continue
+        p, g = pred[f][m], gt[f][m]
+        s = float(np.median(g) / np.median(p)) if align == "median" else 1.0
+        p_list.append(p * s)
+        g_list.append(g)
+        scales.append(s)
+    if not p_list:
+        raise ValueError("no valid depth pixels to evaluate")
+    p = np.concatenate(p_list)
+    g = np.concatenate(g_list)
+
+    ratio = np.maximum(p / g, g / p)
+    diff_log = np.log(p) - np.log(g)
+    return DepthErrors(
+        abs_rel=float(np.mean(np.abs(p - g) / g)),
+        sq_rel=float(np.mean((p - g) ** 2 / g)),
+        rmse=float(np.sqrt(np.mean((p - g) ** 2))),
+        rmse_log=float(np.sqrt(np.mean(diff_log**2))),
+        delta1=float(np.mean(ratio < 1.25)),
+        delta2=float(np.mean(ratio < 1.25**2)),
+        delta3=float(np.mean(ratio < 1.25**3)),
+        scale=float(np.mean(scales)),
+        n_valid=int(p.size),
     )

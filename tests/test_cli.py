@@ -43,7 +43,10 @@ class TestMainSlam:
         assert (out / "camera_poses.txt").exists()
         assert (out / "intrinsic.txt").exists()
         rows = (out / "camera_poses.txt").read_text().strip().split("\n")
-        assert len(rows) == 7  # 9 frames, chunks [0-4),[3-7): frames 0..6
+        # 9 frames, chunks [0-4),[3-7) + flushed tail [5-9): ALL frames
+        # exported (the reference dropped the unaligned tail, solver.py
+        # tail-flush fix)
+        assert len(rows) == 9
         assert len(rows[0].split()) == 16
 
 

@@ -1,0 +1,145 @@
+"""Depth metrics, C3VD-layout loader, and the evaluation CLI."""
+
+import json
+
+import numpy as np
+import pytest
+
+from da3slam_tpu.slam.evaluate import evaluate_depth
+
+
+class TestDepthMetrics:
+    def test_perfect_prediction(self):
+        rng = np.random.default_rng(0)
+        gt = rng.uniform(0.5, 3.0, size=(2, 16, 16))
+        res = evaluate_depth(gt.copy(), gt)
+        assert res.abs_rel == 0.0 and res.rmse == 0.0
+        assert res.delta1 == 1.0
+        assert res.n_valid == gt.size
+
+    def test_median_scaling_undoes_global_scale(self):
+        """Scale-ambiguous prediction (x2.7) scores perfectly under the
+        median protocol, terribly without it."""
+        rng = np.random.default_rng(1)
+        gt = rng.uniform(0.5, 3.0, size=(3, 8, 8))
+        pred = gt * 2.7
+        res = evaluate_depth(pred, gt, align="median")
+        assert res.abs_rel < 1e-12
+        np.testing.assert_allclose(res.scale, 1 / 2.7, rtol=1e-6)
+        res_none = evaluate_depth(pred, gt, align="none")
+        assert res_none.abs_rel > 1.0
+
+    def test_known_abs_rel(self):
+        gt = np.full((1, 4, 4), 2.0)
+        pred = np.full((1, 4, 4), 2.2)
+        res = evaluate_depth(pred, gt, align="none")
+        np.testing.assert_allclose(res.abs_rel, 0.1, rtol=1e-12)
+        assert res.delta1 == 1.0  # ratio 1.1 < 1.25
+
+    def test_invalid_pixels_excluded(self):
+        gt = np.full((1, 4, 4), 2.0)
+        gt[0, 0, :] = 0.0  # invalid rows
+        pred = np.full((1, 4, 4), 2.0)
+        pred[0, 1, 0] = np.nan  # invalid prediction pixel
+        res = evaluate_depth(pred, gt)
+        assert res.n_valid == 16 - 4 - 1
+
+    def test_max_depth_cap(self):
+        gt = np.stack([np.full((4, 4), 1.0)])
+        gt[0, 0, 0] = 50.0
+        res = evaluate_depth(gt.copy(), gt, max_depth=10.0)
+        assert res.n_valid == 15
+
+    def test_all_invalid_raises(self):
+        with pytest.raises(ValueError, match="no valid"):
+            evaluate_depth(np.ones((1, 2, 2)), np.zeros((1, 2, 2)))
+
+
+def make_c3vd_dir(tmp_path, n=4, hw=(12, 16), with_depth=True, with_pose=True):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    seq = tmp_path / "seq"
+    seq.mkdir()
+    # smooth ramps (resolution-resampling in the CLI test must be able to
+    # reconstruct them; noise would not survive down/up-sampling)
+    yy, xx = np.meshgrid(np.linspace(0, 1, hw[0]), np.linspace(0, 1, hw[1]),
+                         indexing="ij")
+    depth_m = np.stack(
+        [(0.01 + 0.04 * xx + 0.02 * yy + 0.005 * i).astype(np.float32)
+         for i in range(n)]  # stays within C3VD's 0..100 mm range
+    )
+    for i in range(n):
+        Image.fromarray(
+            rng.integers(0, 255, (*hw, 3), dtype=np.uint8)
+        ).save(seq / f"{i:04d}_color.png")
+        if with_depth:
+            raw = np.clip(np.round(depth_m[i] / 0.100 * 65535), 0, 65535).astype(np.uint16)
+            Image.fromarray(raw).save(seq / f"{i:04d}_depth.tiff")
+    if with_pose:
+        lines = []
+        for i in range(n):
+            T = np.eye(4)
+            T[:3, 3] = [10.0 * i, 0.0, 5.0]  # millimetres
+            lines.append(",".join(str(v) for v in T.reshape(-1)))
+        (seq / "pose.txt").write_text("\n".join(lines) + "\n")
+    return seq, depth_m
+
+
+class TestC3VDLoader:
+    def test_full_sequence(self, tmp_path):
+        from da3slam_tpu.inout.datasets import load_c3vd_sequence, load_depth_stack
+
+        seq_dir, depth_m = make_c3vd_dir(tmp_path)
+        seq = load_c3vd_sequence(seq_dir)
+        assert len(seq) == 4
+        assert seq.poses_c2w.shape == (4, 4, 4)
+        # millimetre translations converted to metres
+        np.testing.assert_allclose(seq.poses_c2w[2, :3, 3], [0.02, 0.0, 0.005])
+        stack = load_depth_stack(seq)
+        # 16-bit quantisation of the 0..100mm range
+        np.testing.assert_allclose(stack, depth_m, atol=0.100 / 65535)
+
+    def test_no_depth_no_pose(self, tmp_path):
+        from da3slam_tpu.inout.datasets import load_c3vd_sequence
+
+        seq_dir, _ = make_c3vd_dir(tmp_path, with_depth=False, with_pose=False)
+        seq = load_c3vd_sequence(seq_dir)
+        assert seq.depth_paths is None and seq.poses_c2w is None
+
+    def test_count_mismatch_raises(self, tmp_path):
+        from da3slam_tpu.inout.datasets import load_c3vd_sequence
+
+        seq_dir, _ = make_c3vd_dir(tmp_path)
+        (seq_dir / "0003_depth.tiff").unlink()
+        with pytest.raises(ValueError, match="depth maps"):
+            load_c3vd_sequence(seq_dir)
+
+
+class TestEvaluateCLI:
+    def test_depth_and_trajectory_vs_c3vd_seq(self, tmp_path, capsys):
+        from da3slam_tpu.cli.evaluate import main
+        from da3slam_tpu.inout.trajectory import save_camera_poses
+
+        seq_dir, depth_m = make_c3vd_dir(tmp_path)
+        # predicted depth: gt at half resolution, global 2x scale
+        pred = depth_m[:, ::2, ::2] * 2.0
+        np.save(tmp_path / "pred.npy", pred.astype(np.float32))
+        # estimated trajectory = gt (in metres)
+        gt_poses = np.stack([np.eye(4)] * 4)
+        for i in range(4):
+            gt_poses[i, :3, 3] = [0.01 * i, 0.0, 0.005]
+        K = np.stack([np.eye(3)] * 4)
+        save_camera_poses(tmp_path / "est", gt_poses, K)
+
+        main([
+            "--est", str(tmp_path / "est" / "camera_poses.txt"),
+            "--gt_seq", str(seq_dir),
+            "--depth_est", str(tmp_path / "pred.npy"),
+        ])
+        report = json.loads(capsys.readouterr().out)
+        assert report["trajectory"]["ate_rmse"] < 1e-6
+        # bilinear-resized half-res prediction: small but nonzero error
+        assert report["depth"]["abs_rel"] < 0.1
+        assert report["depth"]["delta1"] > 0.9
+        np.testing.assert_allclose(report["depth"]["scale"], 0.5, rtol=0.1)
