@@ -11,6 +11,9 @@ Emits one JSON line per metric, headline first:
                           mode for unbounded sequences, slam/pipeline.py)
   forward_fps_base      — BASE-tier 16-frame chunk forward
   forward_fps_large     — LARGE-tier 16-frame chunk forward
+  flash_attn_tflops     — flash-attention kernel TF/s at the SLAM hot
+                          shape (vs_baseline = fraction of the D=64
+                          speed-of-light on a v5e)
   synthetic_ate_rmse    — correctness: SLAMSolver on the synthetic ground-
                           truth world (per-chunk scale ambiguity + noise),
                           ATE in world units (lower is better)
@@ -118,6 +121,48 @@ def bench_forward(preset: str, frames_dev, hw, n_reps=2) -> float:
     return 16 * n_reps / (time.perf_counter() - t0)
 
 
+def bench_flash_attention_tflops(n_reps: int = 2) -> float:
+    """Flash-attention kernel TF/s at the SLAM hot shape (SURVEY.md §3.1):
+    16-frame cross-view attention, S = 16·(36² + 5) tokens, 6 heads, D=64
+    (SMALL).  Speed-of-light at D=64 is ~50% of the chip's bf16 peak (both
+    matmuls run a 64-deep/64-wide pass through the 128×128 MXU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from da3slam_tpu.ops.flash_attention import flash_attention
+
+    S, H, D = 16 * (36 * 36 + 5), 6, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(1, S, H, D)), jnp.bfloat16)  # [B,S,H,D]
+    k = jnp.asarray(rng.normal(size=(1, S, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, S, H, D)), jnp.bfloat16)
+
+    CHAIN = 64  # data-dependent kernel calls per dispatch
+
+    @jax.jit
+    def chained(q, k, v):
+        # scan the kernel against itself inside ONE dispatch: through the
+        # dev tunnel each jit call pays ~50 ms of relay RTT, which would
+        # swamp an ~11 ms kernel measured call-by-call; lax.scan keeps the
+        # compile cost at one kernel instance regardless of chain length
+        def body(o, _):
+            return flash_attention(o, k, v), None
+
+        o, _ = jax.lax.scan(body, q, None, length=CHAIN)
+        return o
+
+    out = chained(q, k, v)
+    _force(out[0, 0, -1])  # tiny device-side slice — not the 32 MB tensor
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(n_reps):
+        last = chained(q, k, v)
+    _force(last[0, 0, -1])  # device work is ordered: one sync bounds all
+    dt = (time.perf_counter() - t0) / (CHAIN * n_reps)
+    flops = 4.0 * H * S * S * D  # QKᵀ + p·V, 2 MACs each
+    return flops / dt / 1e12
+
+
 def bench_synthetic_ate() -> float:
     """SLAM correctness on the synthetic ground-truth world: recover a known
     trajectory through per-chunk scale ambiguity and mild depth noise."""
@@ -203,6 +248,10 @@ def main() -> None:
         guarded(f"forward_fps_{preset}", "frames/s",
                 lambda p=preset: bench_forward(p, frames_dev, hw),
                 lambda v: v / BASELINE_FPS)
+    guarded("flash_attn_tflops", "TF/s",
+            bench_flash_attention_tflops,
+            # vs the D=64 speed-of-light: 50% of a v5e's 197 TF/s bf16 peak
+            lambda v: v / 98.5)
     guarded("synthetic_ate_rmse", "world-units",
             bench_synthetic_ate, lambda v: ATE_BOUND / max(v, 1e-9))
 
