@@ -156,3 +156,45 @@ class TestSegmentedPipeline:
         np.testing.assert_array_equal(np.asarray(seg.depth), np.asarray(dev.depth))
         np.testing.assert_array_equal(np.asarray(seg.extrinsics_global),
                                       np.asarray(dev.extrinsics_global))
+
+
+class TestDPPipeline:
+    @pytest.mark.slow
+    def test_dp_sharded_matches_fused_scan(self):
+        """Multi-chip mode (window forwards sharded over dp, sequential
+        alignment over the outputs) must reproduce the fused scan."""
+        from da3slam_tpu.parallel import make_mesh
+
+        model = DepthAnything3.from_pretrained("tiny")
+        rng = np.random.default_rng(0)
+        base = rng.integers(40, 200, size=(56, 70, 3))
+        frames = np.stack([
+            np.clip(np.roll(base, i * 2, axis=1) + rng.integers(0, 20, (56, 70, 3)), 0, 255)
+            for i in range(16)
+        ]).astype(np.uint8)
+        from da3slam_tpu.slam.alignment import AlignmentConfig
+
+        # closed-form alignment keeps the comparison well-conditioned:
+        # iterative ICP on the random-init model's unstructured depth is
+        # chaotic and amplifies f32 partitioning-order differences
+        kw = dict(chunk_size=4, overlap=1, process_hw=(56, 70), dtype=jnp.float32,
+                  align_config=AlignmentConfig(method="umeyama"))
+
+        full = run_streaming_slam(model.params, frames, model.cfg, **kw)
+        mesh = make_mesh(8, tp=1)  # 5 windows over dp=8: GSPMD pads
+        dp = run_streaming_slam(model.params, frames, model.cfg, mesh=mesh, **kw)
+        # partitioned execution reorders reductions: ~1e-5-level f32 drift
+        np.testing.assert_allclose(np.asarray(full.depth), np.asarray(dp.depth),
+                                   atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(full.extrinsics_global), np.asarray(dp.extrinsics_global),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(np.asarray(full.depth_scale),
+                                   np.asarray(dp.depth_scale), rtol=1e-5)
+
+        # segmented + dp composes
+        seg = run_streaming_slam(model.params, frames, model.cfg, mesh=mesh,
+                                 segment_windows=2, **kw)
+        np.testing.assert_allclose(np.asarray(full.depth), np.asarray(seg.depth),
+                                   atol=1e-4)
