@@ -169,18 +169,20 @@ class TestAdversarialLoop:
         edges = add_loop_edges(
             sequential_edges(noisy_meas), [(0, K - 1, false_meas)], weight=0.5
         )
-        out = optimize_sim3_pose_graph(
-            stack_sim3(init), edges, max_iterations=30, huber_delta=0.1
-        )
-        # trajectory stays within odometry-noise bounds of ground truth
-        err = max(
-            float(jnp.linalg.norm(out.t[k] - nodes[k].t)) for k in range(K)
-        )
-        gt_extent = max(float(jnp.linalg.norm(nodes[k].t)) for k in range(K))
-        assert err < 0.15 * max(gt_extent, 1.0), (
-            f"false loop corrupted trajectory: max node error {err:.3f} "
-            f"(extent {gt_extent:.3f})"
-        )
+        for solver in ("dense", "cg"):
+            out = optimize_sim3_pose_graph(
+                stack_sim3(init), edges, max_iterations=30, huber_delta=0.1,
+                solver=solver,
+            )
+            # trajectory stays within odometry-noise bounds of ground truth
+            err = max(
+                float(jnp.linalg.norm(out.t[k] - nodes[k].t)) for k in range(K)
+            )
+            gt_extent = max(float(jnp.linalg.norm(nodes[k].t)) for k in range(K))
+            assert err < 0.15 * max(gt_extent, 1.0), (
+                f"[{solver}] false loop corrupted trajectory: max node error "
+                f"{err:.3f} (extent {gt_extent:.3f})"
+            )
 
     def test_false_loop_catastrophic_without_huber(self):
         """Sanity check that the scenario above is actually adversarial:
