@@ -143,24 +143,15 @@ def interpolate_pos_embed(pos: jax.Array, hp: int, wp: int) -> jax.Array:
     return out.reshape(1, hp * wp, -1)
 
 
-def encode(
-    params: Params,
-    images: jax.Array,
-    cfg: ModelConfig,
-    attn_impl: str = "auto",
-    dtype=jnp.float32,
-    cross_attn_impl: str | None = None,
-) -> tuple[list[jax.Array], jax.Array, tuple[int, int]]:
-    """Run the encoder over a chunk of views.
+def embed(
+    params: Params, images: jax.Array, cfg: ModelConfig, dtype=jnp.float32
+) -> tuple[jax.Array, tuple[int, int]]:
+    """Pre-block stage: patch conv + pos embed + [camera, register] prefix.
 
-    Args:
-      images: ``[N, H, W, 3]`` float, ImageNet-normalised, H/W multiples of
-              ``patch_size``.
-
-    Returns:
-      taps:   list of ``[N, S, D]`` activations at ``cfg.dpt_layers`` (post-block)
-      final:  ``[N, S, D]`` final-norm output
-      grid:   (Hp, Wp) patch grid
+    ``images: [N, H, W, 3]`` → ``([N, S, D] tokens, (Hp, Wp) patch grid)``.
+    Shared by the sequential encoder (:func:`encode`) and the
+    pipeline-parallel one (parallel/pp_forward.py) so the token layout
+    cannot drift between them.
     """
     N, H, W, _ = images.shape
     P = cfg.patch_size
@@ -183,7 +174,29 @@ def encode(
         params["register_tokens"].astype(dtype),
         (N, cfg.num_register_tokens, cfg.embed_dim),
     )
-    x = jnp.concatenate([cam, reg, x], axis=1)  # [N, S, D]
+    return jnp.concatenate([cam, reg, x], axis=1), (hp, wp)  # [N, S, D]
+
+
+def encode(
+    params: Params,
+    images: jax.Array,
+    cfg: ModelConfig,
+    attn_impl: str = "auto",
+    dtype=jnp.float32,
+    cross_attn_impl: str | None = None,
+) -> tuple[list[jax.Array], jax.Array, tuple[int, int]]:
+    """Run the encoder over a chunk of views.
+
+    Args:
+      images: ``[N, H, W, 3]`` float, ImageNet-normalised, H/W multiples of
+              ``patch_size``.
+
+    Returns:
+      taps:   list of ``[N, S, D]`` activations at ``cfg.dpt_layers`` (post-block)
+      final:  ``[N, S, D]`` final-norm output
+      grid:   (Hp, Wp) patch grid
+    """
+    x, (hp, wp) = embed(params, images, cfg, dtype)
 
     taps: list[jax.Array] = []
     tap_set = set(cfg.dpt_layers)

@@ -17,10 +17,13 @@ Two DA3-specific wrinkles, both handled on-device:
   stage id with the (static) local offset — so each block applies via
   ``lax.cond`` on the computed flag instead of Python control flow.
 - **DPT taps.**  The head reads activations from four interior layers
-  (``cfg.dpt_layers``), which generally live on different stages.  Each
-  microbatch therefore carries a tap buffer ``[n_taps, N, S, D]`` along
-  the pipeline; the stage whose block matches a tap layer writes into it,
-  and the buffer rides the same ``ppermute`` as the activations.
+  (``cfg.dpt_layers``), which generally live on different stages.  Taps
+  never travel the ring: each stage knows which microbatch it processes
+  at tick t (``m = t - stage_id``) and writes its own layers' taps into a
+  local ``[M, n_taps, ...]`` buffer (zeros for layers it doesn't own);
+  the per-stage buffers are summed across the ``pp`` axis afterwards —
+  tap slots are disjoint by construction, so the sum is an assembly, not
+  a reduction.  Only the activations ride the ``ppermute``.
 
 The giant tier (40 blocks, 1.5 GB bf16) fits one v5e chip, so pp is about
 *scaling headroom* (weight memory per chip shrinks by the stage count)
@@ -72,26 +75,9 @@ def split_encoder_params(params: Any, n_stages: int, mesh: Mesh | None = None):
 
 
 def _embed(rest: Any, images: jax.Array, cfg: ModelConfig, dtype) -> jax.Array:
-    """Patch embed + pos embed + prefix tokens for one microbatch
-    (vit.encode's pre-block stage, kept replicated — it is tiny)."""
-    N, H, W, _ = images.shape
-    Pz = cfg.patch_size
-    hp, wp = H // Pz, W // Pz
-    x = jax.lax.conv_general_dilated(
-        images.astype(dtype),
-        rest["patch_embed"]["kernel"].astype(dtype),
-        window_strides=(Pz, Pz),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + rest["patch_embed"]["bias"].astype(dtype)
-    x = x.reshape(N, hp * wp, cfg.embed_dim)
-    x = x + vit.interpolate_pos_embed(rest["pos_embed"], hp, wp).astype(dtype)
-    cam = jnp.broadcast_to(rest["camera_token"].astype(dtype), (N, 1, cfg.embed_dim))
-    reg = jnp.broadcast_to(
-        rest["register_tokens"].astype(dtype),
-        (N, cfg.num_register_tokens, cfg.embed_dim),
-    )
-    return jnp.concatenate([cam, reg, x], axis=1)  # [N, S, D]
+    """vit.embed for one microbatch (kept replicated — it is tiny)."""
+    x, _grid = vit.embed(rest, images, cfg, dtype)
+    return x
 
 
 def make_pp_encode(
@@ -122,8 +108,10 @@ def make_pp_encode(
     S = n_stages
     interval = cfg.cross_view_interval
 
-    def stage_apply(local_blocks, x, taps, stage_id):
-        """Apply this device's ``per`` blocks; write matching DPT taps."""
+    def stage_apply(local_blocks, x, stage_id):
+        """Apply this device's ``per`` blocks; collect taps for the layers
+        this stage owns (zeros elsewhere — slots are disjoint per stage)."""
+        taps = jnp.zeros((n_taps,) + x.shape, x.dtype)
         for j in range(per):
             bp = jax.tree.map(lambda a, j=j: a[0, j], local_blocks)
             g = stage_id * per + j  # global block index (traced)
@@ -151,39 +139,40 @@ def make_pp_encode(
         # scan's carry-type check rejects the unvarying→varying promotion
         vary = lambda a: jax.lax.pcast(a, ("pp",), to="varying")  # noqa: E731
         zeros_x = vary(jnp.zeros_like(x_mb[0]))
-        zeros_taps = vary(jnp.zeros((n_taps,) + x_mb.shape[1:], x_mb.dtype))
         outs_x = vary(jnp.zeros((M,) + x_mb.shape[1:], x_mb.dtype))
         outs_taps = vary(jnp.zeros((M, n_taps) + x_mb.shape[1:], x_mb.dtype))
         perm = [(i, (i + 1) % S) for i in range(S)]
 
         def tick(carry, t):
-            prev_x, prev_taps, ox, ot = carry
-            # hand the previous tick's outputs one stage down the ring
+            prev_x, ox, ot = carry
+            # hand the previous tick's activations one stage down the ring
+            # (taps never travel: each stage keeps its own, merged after)
             in_x = jax.lax.ppermute(prev_x, "pp", perm)
-            in_taps = jax.lax.ppermute(prev_taps, "pp", perm)
             # stage 0 ingests microbatch t instead (clamped when drained)
             mb = jax.lax.dynamic_index_in_dim(
                 x_mb, jnp.clip(t, 0, M - 1), 0, keepdims=False
             )
-            first = stage_id == 0
-            in_x = jnp.where(first, mb, in_x)
-            in_taps = jnp.where(first, zeros_taps, in_taps)
-            out_x, out_taps = stage_apply(stage_params, in_x, in_taps, stage_id)
-            # the last stage completes microbatch t - (S-1) at tick t
-            idx = jnp.clip(t - (S - 1), 0, M - 1)
-            write = (stage_id == S - 1) & (t >= S - 1)
+            in_x = jnp.where(stage_id == 0, mb, in_x)
+            out_x, taps_local = stage_apply(stage_params, in_x, stage_id)
+            # this stage processed microbatch m = t - stage_id at tick t
+            m = t - stage_id
+            m_valid = (m >= 0) & (m < M)
+            idx = jnp.clip(m, 0, M - 1)
+            ot = jax.lax.dynamic_update_index_in_dim(
+                ot, jnp.where(m_valid, taps_local, ot[idx]), idx, 0
+            )
+            # the last stage's activation output completes microbatch m
+            write = (stage_id == S - 1) & m_valid
             ox = jax.lax.dynamic_update_index_in_dim(
                 ox, jnp.where(write, out_x, ox[idx]), idx, 0
             )
-            ot = jax.lax.dynamic_update_index_in_dim(
-                ot, jnp.where(write, out_taps, ot[idx]), idx, 0
-            )
-            return (out_x, out_taps, ox, ot), None
+            return (out_x, ox, ot), None
 
-        (_, _, outs_x, outs_taps), _ = jax.lax.scan(
-            tick, (zeros_x, zeros_taps, outs_x, outs_taps), jnp.arange(M + S - 1)
+        (_, outs_x, outs_taps), _ = jax.lax.scan(
+            tick, (zeros_x, outs_x, outs_taps), jnp.arange(M + S - 1)
         )
-        # expose per-stage buffers; only the last stage's are meaningful
+        # expose per-stage buffers: outs_x is meaningful on the last stage
+        # only; outs_taps holds each stage's own (disjoint) tap layers
         return outs_x[None], outs_taps[None]
 
     sharded = shard_map(
@@ -199,7 +188,9 @@ def make_pp_encode(
         x_mb = jax.vmap(lambda im: _embed(rest, im, cfg, dtype))(images_mb)
         outs_x, outs_taps = sharded(stage_params, x_mb)
         final_x = outs_x[S - 1]  # [M, N, S_tok, D] from the last stage
-        taps = outs_taps[S - 1]  # [M, n_taps, N, S_tok, D]
+        # assemble taps: stage buffers hold disjoint layer slots (zeros
+        # elsewhere), so the stage-axis sum is a gather, not a reduction
+        taps = outs_taps.sum(axis=0)  # [M, n_taps, N, S_tok, D]
         final = jax.vmap(lambda x: vit.layer_norm(rest["norm"], x))(final_x)
         return taps, final
 

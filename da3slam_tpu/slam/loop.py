@@ -108,6 +108,15 @@ class LoopDetector:
         self._descs: list[np.ndarray] = []
         self._kind: str | None = None
 
+    @property
+    def kind(self) -> str | None:
+        """Descriptor source enrolled so far: "learned" | "thumbnail" | None.
+
+        Callers with mixed sources (e.g. resuming over spills written before
+        descriptors were saved) should check this and down-convert to the
+        enrolled kind rather than mixing (mixing raises)."""
+        return self._kind
+
     def add_frame(self, image: np.ndarray | None, desc: np.ndarray | None = None) -> None:
         if desc is not None:
             d = np.asarray(desc, np.float32).reshape(-1)
@@ -150,6 +159,16 @@ class LoopDetector:
         if len(self._descs) < self.min_gap + 2:
             return []
         D = np.stack(self._descs)  # [T, d]
+        if self._kind == "learned":
+            # batch-center: raw pooled encoder tokens share a large common
+            # component on self-similar footage (every colonoscopy frame
+            # looks alike), which pushes ALL cosines toward 1 and saturates
+            # the threshold.  Removing the corpus mean leaves the
+            # frame-distinctive part, putting cosines on the same footing
+            # as the (per-image mean-subtracted) thumbnail descriptors.
+            D = D - D.mean(axis=0, keepdims=True)
+            n = np.linalg.norm(D, axis=1, keepdims=True)
+            D = D / np.maximum(n, 1e-12)
         cand, sim = self._candidates(D)
         if cand.shape[0] == 0:
             return []

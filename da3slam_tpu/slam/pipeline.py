@@ -302,23 +302,8 @@ def run_streaming_slam(
         )
 
     if segment_windows is None or segment_windows >= idx.shape[0]:
-        if mesh is not None:
-            out, _ = run_pipeline_dp(
-                params, jnp.asarray(frames), jnp.asarray(idx),
-                jnp.asarray(anchors), cfg, mesh,
-                align_config, attn_impl, dtype, process_hw,
-            )
-            return out
-        out, _ = run_pipeline(
-            params,
-            jnp.asarray(frames),
-            jnp.asarray(idx),
-            jnp.asarray(anchors),
-            cfg,
-            align_config,
-            attn_impl,
-            dtype,
-            process_hw,
+        out, _ = run_segment(
+            jnp.asarray(frames), jnp.asarray(idx), jnp.asarray(anchors), None
         )
         return out
 

@@ -159,8 +159,13 @@ class DA3Streaming:
         if self.loop_detector is None:
             return
         # prefer the model's learned retrieval descriptors (loop.py); fall
-        # back to appearance thumbnails for models that don't provide them
+        # back to appearance thumbnails for models that don't provide them.
+        # A detector that already holds thumbnails stays on thumbnails: a
+        # resumed run whose early spills predate descriptor saving must not
+        # switch kinds mid-sequence (the detector rejects mixing).
         descs = chunk.get("frame_desc")
+        if self.loop_detector.kind == "thumbnail":
+            descs = None
         n = self.chunk_size - self.overlap
         for i, img in enumerate(chunk["images"][:n]):
             self.loop_detector.add_frame(

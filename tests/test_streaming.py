@@ -331,6 +331,47 @@ class TestLoopDetector:
         with pytest.raises(ValueError, match="mixed descriptor kinds"):
             det.add_frame(self.make_image(None, 0))
 
+    def test_resume_over_old_spills_downconverts(self):
+        """Resuming over spills written before frame_desc existed enrolls
+        thumbnails; later freshly-inferred chunks carrying descriptors must
+        down-convert instead of raising mid-run."""
+        from da3slam_tpu.slam.streaming import DA3Streaming
+
+        s = DA3Streaming.__new__(DA3Streaming)  # just the helper under test
+        s.loop_detector = LoopDetector(min_gap=1)
+        s.chunk_size, s.overlap = 3, 1
+        imgs = np.random.default_rng(0).integers(0, 255, (3, 16, 16, 3),
+                                                 dtype=np.uint8)
+        s._feed_loop_detector({"images": imgs})  # old spill: no frame_desc
+        assert s.loop_detector.kind == "thumbnail"
+        s._feed_loop_detector(
+            {"images": imgs, "frame_desc": np.ones((3, 8), np.float32)}
+        )  # new chunk: must not raise
+        assert s.loop_detector.kind == "thumbnail"
+        assert len(s.loop_detector._descs) == 4
+
+    def test_common_component_centered_out(self):
+        """Pooled encoder tokens on self-similar footage share a large
+        common component that pushes every pairwise cosine toward 1; the
+        learned path must batch-center so only a true revisit crosses the
+        threshold."""
+        rng = np.random.default_rng(0)
+        common = rng.normal(size=64).astype(np.float32) * 10.0
+        distinct = rng.normal(size=(45, 64)).astype(np.float32)
+        distinct[40:43] = distinct[0:3] + 0.01 * rng.normal(size=(3, 64))
+        descs = common[None] + distinct  # raw cosines all ≈ 1
+        raw_cos = (descs[0] / np.linalg.norm(descs[0])) @ (
+            descs[20] / np.linalg.norm(descs[20]))
+        assert raw_cos > 0.97  # scenario is actually adversarial
+
+        det = LoopDetector(threshold=0.9, min_gap=10)
+        for d in descs:
+            det.add_frame(None, desc=d)
+        pairs = det.detect()
+        assert pairs, "true revisit missed"
+        for p in pairs:  # only the planted revisits survive centering
+            assert p.frame_a < 3 and p.frame_b >= 40, (p.frame_a, p.frame_b)
+
     def test_blocked_retrieval_matches_dense(self):
         """Row-blocked device retrieval must find the same pairs as a
         single-panel pass."""
