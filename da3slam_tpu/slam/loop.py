@@ -166,7 +166,15 @@ class LoopDetector:
             # the threshold.  Removing the corpus mean leaves the
             # frame-distinctive part, putting cosines on the same footing
             # as the (per-image mean-subtracted) thumbnail descriptors.
-            D = D - D.mean(axis=0, keepdims=True)
+            # Zero rows (descriptor-less placeholder frames) stay zero —
+            # centering them would alias them all to -mean and make them
+            # mutually similar.
+            nonzero = np.linalg.norm(D, axis=1) > 0
+            if not nonzero.any():
+                return []
+            D = np.where(
+                nonzero[:, None], D - D[nonzero].mean(axis=0, keepdims=True), 0.0
+            )
             n = np.linalg.norm(D, axis=1, keepdims=True)
             D = D / np.maximum(n, 1e-12)
         cand, sim = self._candidates(D)

@@ -108,7 +108,18 @@ class DA3Streaming:
         self.sim3_list: list[Sim3] = []  # entry k: chunk k+1 coords → chunk k
         self.all_camera_poses: list[tuple[tuple[int, int], np.ndarray]] = []
         self.all_camera_intrinsics: list[np.ndarray] = []
-        self.loop_detector = LoopDetector() if self.loop_enable else None
+        rcfg = config.get("Loop", {}).get("Retrieval", {}) or {}
+        # NOTE on threshold scale: learned descriptors are batch-centered at
+        # detection (loop.py), so cosines measure the frame-DISTINCTIVE
+        # part, same footing as the mean-subtracted thumbnails.  Genuine
+        # revisits under strong appearance change may want this lowered —
+        # the geometric gate (rmse / n_effective / reciprocal consistency)
+        # rejects false positives downstream, so recall is the scarcer side.
+        self.loop_detector = LoopDetector(
+            threshold=rcfg.get("threshold", 0.92),
+            min_gap=rcfg.get("min_gap", 30),
+            max_loops=rcfg.get("max_loops", 10),
+        ) if self.loop_enable else None
         self.loop_edges: list[tuple[int, int, Sim3]] = []
 
     # -- pass 1 ------------------------------------------------------------
@@ -166,6 +177,13 @@ class DA3Streaming:
         descs = chunk.get("frame_desc")
         if self.loop_detector.kind == "thumbnail":
             descs = None
+        elif self.loop_detector.kind == "learned" and descs is None:
+            # reverse direction (learned spills replayed, then a chunk
+            # without descriptors): enroll zero vectors — they match
+            # nothing but keep frame indices aligned with the sequence
+            dim = self.loop_detector._descs[0].shape[0]
+            n_frames = len(chunk["images"][: self.chunk_size - self.overlap])
+            descs = np.zeros((n_frames, dim), np.float32)
         n = self.chunk_size - self.overlap
         for i, img in enumerate(chunk["images"][:n]):
             self.loop_detector.add_frame(

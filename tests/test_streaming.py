@@ -350,6 +350,28 @@ class TestLoopDetector:
         assert s.loop_detector.kind == "thumbnail"
         assert len(s.loop_detector._descs) == 4
 
+    def test_learned_spills_then_descriptorless_chunk(self):
+        """Reverse resume direction: learned descriptors enrolled first,
+        then a chunk without frame_desc — zero placeholders keep indices
+        aligned, never match anything, and never alias to each other."""
+        from da3slam_tpu.slam.streaming import DA3Streaming
+
+        s = DA3Streaming.__new__(DA3Streaming)
+        s.loop_detector = LoopDetector(threshold=0.5, min_gap=2)
+        s.chunk_size, s.overlap = 3, 1
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 255, (3, 16, 16, 3), dtype=np.uint8)
+        s._feed_loop_detector(
+            {"images": imgs, "frame_desc": rng.normal(size=(3, 8)).astype(np.float32)}
+        )
+        for _ in range(4):  # several descriptor-less chunks, min_gap apart
+            s._feed_loop_detector({"images": imgs})
+        assert s.loop_detector.kind == "learned"
+        assert len(s.loop_detector._descs) == 10
+        # placeholder frames (identical zero vectors) must not pair up
+        for p in s.loop_detector.detect():
+            assert p.frame_a < 3 and p.frame_b < 3
+
     def test_common_component_centered_out(self):
         """Pooled encoder tokens on self-similar footage share a large
         common component that pushes every pairwise cosine toward 1; the
