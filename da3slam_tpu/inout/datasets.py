@@ -6,8 +6,10 @@ capture geometry) ships per-sequence folders of:
 
     0000_color.png       RGB frame
     0000_depth.tiff      16-bit depth, 0..65535 ↦ 0..100 mm
-    pose.txt             one 4×4 cam-to-world per line, row-major,
-                         comma-separated, translations in millimetres
+    pose.txt             one 4×4 cam-to-world per line, comma-separated,
+                         translations in millimetres; flattening order
+                         differs between public loaders (row- vs
+                         column-major) — see ``pose_layout``
 
 This loader maps that layout onto the framework's conventions (c2w float
 metres, depth [H, W] float metres) so a SLAM run can be scored against
@@ -38,7 +40,22 @@ class SequenceData:
         return len(self.image_paths)
 
 
-def _load_pose_file(path: Path, unit: float) -> np.ndarray:
+def _load_pose_file(path: Path, unit: float, layout: str = "auto") -> np.ndarray:
+    """Parse 16-floats-per-line pose files.
+
+    ``layout`` is the flattening order of each 4x4 matrix:
+      - ``"row"``:  row-major (the common C3VD convention)
+      - ``"col"``:  column-major (several public C3VD loaders transpose)
+      - ``"auto"``: detect from the homogeneous structure.  A transposed
+        rigid transform still has an orthonormal 3x3 block (Rᵀ), so
+        orthonormality cannot discriminate; what does is where the
+        [0, 0, 0, 1] row lands — read row-major, a column-major file shows
+        the translation in the bottom row and zeros in the last column.
+        A wrong order silently corrupts every rotation-dependent metric
+        while translations still look plausible, so ambiguity (both
+        residuals nonzero, or translation-free files) falls back to
+        row-major with a warning.
+    """
     rows = []
     for line in path.read_text().strip().splitlines():
         vals = [float(v) for v in line.replace(",", " ").split()]
@@ -46,15 +63,41 @@ def _load_pose_file(path: Path, unit: float) -> np.ndarray:
             raise ValueError(
                 f"{path}: expected 16 values per pose line, got {len(vals)}"
             )
-        T = np.asarray(vals, np.float64).reshape(4, 4)
-        T[:3, 3] *= unit
-        rows.append(T)
-    return np.stack(rows)
+        rows.append(np.asarray(vals, np.float64).reshape(4, 4))
+    T = np.stack(rows)
+    if layout not in ("row", "col", "auto"):
+        raise ValueError(f"pose layout must be row|col|auto, got {layout!r}")
+    if layout == "auto":
+        # residual of the [0,0,0] part of the homogeneous row under each
+        # interpretation (relative to the translation magnitude)
+        t_scale = max(np.abs(T[:, :3, 3]).max(), np.abs(T[:, 3, :3]).max(), 1e-12)
+        err_row = np.abs(T[:, 3, :3]).max() / t_scale
+        err_col = np.abs(T[:, :3, 3]).max() / t_scale
+        if err_row <= 1e-9:
+            layout = "row"  # includes the translation-free ambiguous case
+        elif err_col <= 1e-9:
+            layout = "col"
+        else:
+            layout = "row"
+            import warnings
+
+            warnings.warn(
+                f"{path}: matrices are not homogeneous under either "
+                f"flattening order (row residual {err_row:.2e}, col residual "
+                f"{err_col:.2e}); assuming row-major — pass "
+                "pose_layout='col' if metrics look wrong",
+                stacklevel=2,
+            )
+    if layout == "col":
+        T = np.swapaxes(T, 1, 2)
+    T[:, :3, 3] *= unit
+    return T
 
 
 def load_c3vd_sequence(
     seq_dir: str | Path,
     pose_unit: float = C3VD_POSE_UNIT_M,
+    pose_layout: str = "auto",
 ) -> SequenceData:
     """Load one C3VD-layout sequence directory (see module docstring)."""
     seq_dir = Path(seq_dir)
@@ -78,7 +121,7 @@ def load_c3vd_sequence(
     poses = None
     pose_file = seq_dir / "pose.txt"
     if pose_file.exists():
-        poses = _load_pose_file(pose_file, pose_unit)
+        poses = _load_pose_file(pose_file, pose_unit, layout=pose_layout)
         if len(poses) != len(images):
             raise ValueError(
                 f"{seq_dir}: {len(images)} frames but {len(poses)} poses"

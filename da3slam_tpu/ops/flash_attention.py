@@ -129,7 +129,16 @@ def _flash_forward(q, k, v, block_q, block_k):
     vf = _fold(v, S, Sk, B, H, D)
 
     if Sk != S:
-        # padding mask as a matmul bias column (see _fwd_kernel comment)
+        # padding mask as a matmul bias column (see _fwd_kernel comment).
+        # The bias-column trick is free only while D < 128 (the contraction
+        # is 128-deep either way); at D = 128 it would double the QK/PV
+        # matmul depth for one bias lane — all DA3 presets use D = 64, so
+        # guard loudly rather than silently paying 2x.
+        assert D < 128, (
+            f"flash_attention: head_dim={D} >= 128 with an unaligned sequence "
+            f"(S={S}) would double the matmul width for the padding-bias "
+            "column; pad S to a block multiple or add an iota-mask path"
+        )
         Dk = _round_up(D + 1, 128)
         qf = jnp.pad(qf, ((0, 0), (0, 0), (0, Dk - D)))
         qf = qf.at[:, :, D].set(1.0)
@@ -196,8 +205,11 @@ def _bwd_dq_kernel(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # no padding mask needed: padded K rows are zero, so their dq
-    # contribution dz_j ⊗ k_j vanishes regardless of p's value there
+    # no explicit padding mask: padded key columns carry NEG_INF in the bias
+    # lane, so s = -1e30 there and p = exp2(s - lse) underflows to exactly 0
+    # — and the valid lanes (0..D-1) of padded K rows are zero, so even the
+    # k-side of dz·k is zero.  Both invariants depend on the hard NEG_INF
+    # constant; a softer mask value would leave p > 0 here and break dq.
     p = jnp.exp2(s - lse_ref[0][:, :1])  # softmax
 
     dov = jax.lax.dot_general(  # dO · Vᵀ : [bq, bk]

@@ -117,6 +117,13 @@ class LoopDetector:
         enrolled kind rather than mixing (mixing raises)."""
         return self._kind
 
+    @property
+    def dim(self) -> int | None:
+        """Descriptor dimensionality enrolled so far (None before the first
+        frame).  Public so callers synthesising placeholder descriptors
+        (e.g. resume paths) need not poke at internals."""
+        return self._descs[0].shape[0] if self._descs else None
+
     def add_frame(self, image: np.ndarray | None, desc: np.ndarray | None = None) -> None:
         if desc is not None:
             d = np.asarray(desc, np.float32).reshape(-1)

@@ -121,6 +121,7 @@ class DA3Streaming:
             max_loops=rcfg.get("max_loops", 10),
         ) if self.loop_enable else None
         self.loop_edges: list[tuple[int, int, Sim3]] = []
+        self.n_pose_filled = 0
 
     # -- pass 1 ------------------------------------------------------------
     def process_single_chunk(self, chunk_range: tuple[int, int], chunk_idx: int) -> dict:
@@ -181,7 +182,7 @@ class DA3Streaming:
             # reverse direction (learned spills replayed, then a chunk
             # without descriptors): enroll zero vectors — they match
             # nothing but keep frame indices aligned with the sequence
-            dim = self.loop_detector._descs[0].shape[0]
+            dim = self.loop_detector.dim
             n_frames = len(chunk["images"][: self.chunk_size - self.overlap])
             descs = np.zeros((n_frames, dim), np.float32)
         n = self.chunk_size - self.overlap
@@ -406,15 +407,32 @@ class DA3Streaming:
                 chunk_of_frame[idx] = k
 
         # frames not covered (possible with the re-anchored tail) fall back to
-        # their nearest covered neighbor
+        # their nearest covered neighbor — a wrong-but-plausible pose, so the
+        # fill is loud: warned per run and counted in the export record
         last = np.eye(4)
         last_K = np.eye(3)
+        filled = []
         for idx in range(n_frames):
             if all_poses[idx] is None:
                 all_poses[idx] = last
                 all_intr[idx] = last_K
+                filled.append(idx)
             else:
                 last, last_K = all_poses[idx], all_intr[idx]
+        self.n_pose_filled = len(filled)
+        if filled:
+            import warnings
+
+            shown = ", ".join(map(str, filled[:10])) + ("…" if len(filled) > 10 else "")
+            warnings.warn(
+                f"{len(filled)} frame(s) not covered by any chunk; their poses "
+                f"were filled with the previous frame's pose (frames: {shown}). "
+                "Trajectory metrics over these frames are not meaningful.",
+                stacklevel=2,
+            )
+            (self.output_dir / "pose_filled_frames.txt").write_text(
+                "\n".join(map(str, filled)) + "\n"
+            )
 
         save_camera_poses(self.output_dir, np.stack(all_poses),
                           np.stack(all_intr), chunk_indices=chunk_of_frame)

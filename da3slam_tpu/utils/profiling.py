@@ -43,6 +43,10 @@ class StageTimer:
         self.sync = sync
         self.totals: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
+        # first call per stage — on jitted stages this is dominated by XLA
+        # compilation, so the report separates it from the steady state
+        # (a 4-call loop otherwise reports compile time as "ms/call")
+        self.firsts: dict[str, float] = {}
 
     @contextlib.contextmanager
     def __call__(self, stage: str, result: Any = None):
@@ -54,8 +58,20 @@ class StageTimer:
             target = box.get("result", result)
             if self.sync and target is not None:
                 force_completion(target)
-            self.totals[stage] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            if stage not in self.firsts:
+                self.firsts[stage] = dt
+            self.totals[stage] += dt
             self.counts[stage] += 1
+
+    def steady_ms(self, stage: str) -> float:
+        """Mean ms/call excluding the first (compile-bearing) call; falls
+        back to the first call when the stage only ran once."""
+        n = self.counts[stage]
+        t = self.totals[stage]
+        if n <= 1:
+            return t * 1e3
+        return (t - self.firsts[stage]) / (n - 1) * 1e3
 
     def report(self) -> str:
         if not self.totals:
@@ -66,14 +82,16 @@ class StageTimer:
         for stage, t in sorted(self.totals.items(), key=lambda kv: -kv[1]):
             n = self.counts[stage]
             lines.append(
-                f"{stage:<{width}}  {t:8.3f}s total  {t / max(n, 1) * 1e3:8.1f} ms/call"
-                f"  x{n:<5d} {100 * t / total:5.1f}%"
+                f"{stage:<{width}}  {t:8.3f}s total  {self.steady_ms(stage):8.1f} ms/call"
+                f"  x{n:<5d} first {self.firsts[stage] * 1e3:8.1f} ms"
+                f"  {100 * t / total:5.1f}%"
             )
         return "\n".join(lines)
 
     def reset(self) -> None:
         self.totals.clear()
         self.counts.clear()
+        self.firsts.clear()
 
 
 @contextlib.contextmanager
