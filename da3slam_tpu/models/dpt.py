@@ -2,10 +2,15 @@
 
 Standard DPT decode (project → reassemble at 4 scales → residual-conv fusion
 → output head), implemented NHWC with ``lax.conv_general_dilated`` so XLA
-maps the convs onto the MXU.  Upsampling uses bilinear resize + conv (no
-transposed convs — avoids checkerboard artifacts and keeps shapes friendly
-to the 14-pixel patch stride, where power-of-two transposed strides don't
-divide evenly).
+maps the convs onto the MXU.
+
+Tap reassembly uses the published DPT/MiDaS **learned resize layers**
+(stride-4 and stride-2 transposed convs for the shallow taps, identity,
+stride-2 conv for the deepest) so released torch checkpoints import with
+every tensor consumed (models/torch_import.py).  Because kernel == stride,
+the transposed convs lower to one einsum + reshape — a pure MXU op with no
+checkerboard overlap.  Fusion upsampling reproduces the published heads'
+``interpolate(align_corners=True)`` exactly, as two dense matmuls.
 
 Output contract (reference solver.py:171-176): depth ``[N, H, W]`` positive,
 conf ``[N, H, W]`` ≈ ≥ 1.0 (the streaming path subtracts 1.0,
@@ -45,6 +50,61 @@ def _resize(x: jax.Array, h: int, w: int) -> jax.Array:
     return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="bilinear")
 
 
+def _ac_matrix(out_size: int, in_size: int) -> jax.Array:
+    """Row-stochastic ``[out, in]`` align-corners bilinear weights.
+
+    The published DPT heads upsample with ``interpolate(...,
+    align_corners=True)``; expressing that as two small dense matmuls (rows,
+    then columns) reproduces it exactly AND keeps the op on the MXU instead
+    of a gather pipeline.  Shapes are static under jit, so the matrices are
+    compile-time constants."""
+    if in_size == 1 or out_size == 1:
+        return jnp.ones((out_size, in_size)) / in_size
+    pos = jnp.arange(out_size) * ((in_size - 1) / (out_size - 1))
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 2)
+    frac = pos - lo
+    rows = jnp.arange(out_size)
+    W = jnp.zeros((out_size, in_size))
+    W = W.at[rows, lo].add(1.0 - frac)
+    W = W.at[rows, lo + 1].add(frac)
+    return W
+
+
+def _resize_ac(x: jax.Array, h: int, w: int) -> jax.Array:
+    """Align-corners bilinear resize of ``[N, H, W, C]`` via two matmuls."""
+    Wh = _ac_matrix(h, x.shape[1]).astype(x.dtype)
+    Ww = _ac_matrix(w, x.shape[2]).astype(x.dtype)
+    y = jnp.einsum("oh,nhwc->nowc", Wh, x)
+    return jnp.einsum("pw,nowc->nopc", Ww, y)
+
+
+def _deconv_exact(p: Params, x: jax.Array, s: int) -> jax.Array:
+    """ConvTranspose with kernel == stride == ``s`` (the DPT resize layers):
+    each input pixel expands to an independent s×s output tile, so the op is
+    exactly one matmul ``cin → cout·s·s`` plus a reshape — no overlap, no
+    checkerboard, full MXU.  Matches torch ``ConvTranspose2d(k=s, s=s, p=0)``
+    with our kernel stored HWIO ``[s, s, cin, cout]``."""
+    N, h, w, cin = x.shape
+    k = p["kernel"].astype(x.dtype)  # [s, s, cin, cout]
+    cout = k.shape[-1]
+    y = jnp.einsum("nhwc,abcd->nhawbd", x, k)  # [N, h, s, w, s, cout]
+    y = y.reshape(N, h * s, w * s, cout)
+    return y + p["bias"].astype(x.dtype)
+
+
+def _conv_s2(p: Params, x: jax.Array) -> jax.Array:
+    """3×3 stride-2 conv with torch's symmetric padding=1 (SAME would pad
+    asymmetrically at even sizes and drift from the released head)."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=(2, 2),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + p["bias"].astype(x.dtype)
+
+
 def init_dpt(key: jax.Array, cfg: ModelConfig) -> Params:
     D = cfg.embed_dim
     F = cfg.dpt_dim
@@ -57,6 +117,13 @@ def init_dpt(key: jax.Array, cfg: ModelConfig) -> Params:
     params: dict[str, Any] = {
         # per-tap 1x1 projection from embed dim to stage feature dim
         "project": [conv(1, 1, D, f) for f in feats],
+        # learned tap resampling (published DPT resize_layers): 4x / 2x
+        # transposed convs, identity at tap 2, stride-2 3x3 conv at tap 3
+        "resize": {
+            "r0": conv(4, 4, feats[0], feats[0]),
+            "r1": conv(2, 2, feats[1], feats[1]),
+            "r3": conv(3, 3, feats[3], feats[3]),
+        },
         # per-stage 3x3 conv into the shared fusion dim
         "stage_rn": [conv(3, 3, f, F) for f in feats],
         # residual conv units: two 3x3 convs per fusion step, 2 steps per stage
@@ -101,30 +168,47 @@ def apply_dpt(
     H, W = out_hw
     n_prefix = 1 + cfg.num_register_tokens
 
-    # reassemble: strip prefix tokens, project, reshape to grid, rescale
+    # reassemble: strip prefix tokens, project, reshape to grid, resample.
+    # Learned resize layers (init_dpt "resize") when present; older native
+    # checkpoints without them fall back to bilinear at the same scales.
     scales = (4.0, 2.0, 1.0, 0.5)
+    resize = params.get("resize") if isinstance(params, dict) else None
     stages = []
     for k, tap in enumerate(taps):
         t = tap[:, n_prefix:, :]
         N = t.shape[0]
         fmap = t.reshape(N, hp, wp, -1)
         fmap = conv2d(params["project"][k], fmap)
-        sh, sw = max(int(hp * scales[k]), 1), max(int(wp * scales[k]), 1)
-        fmap = _resize(fmap, sh, sw)
+        if resize is not None:
+            if k == 0:
+                fmap = _deconv_exact(resize["r0"], fmap, 4)
+            elif k == 1:
+                fmap = _deconv_exact(resize["r1"], fmap, 2)
+            elif k == 3:
+                fmap = _conv_s2(resize["r3"], fmap)
+        else:
+            sh, sw = max(int(hp * scales[k]), 1), max(int(wp * scales[k]), 1)
+            fmap = _resize(fmap, sh, sw)
         stages.append(conv2d(params["stage_rn"][k], fmap))
 
-    # fusion: deepest → shallowest, upsampling to each finer stage's grid
-    y = _rcu(params["fusion"][3]["rcu1"], stages[3])
-    y = conv2d(params["fusion"][3]["out"], y)
+    # fusion: deepest → shallowest, exactly the published refinenet wiring
+    # (MiDaS FeatureFusionBlock): the deepest stage has a single input so
+    # only its resConfUnit2 runs (its resConfUnit1 weights exist in released
+    # checkpoints but are never executed — mirrored here); each stage ends
+    # with align-corners upsample to the next grid THEN its 1x1 out_conv.
+    y = _rcu(params["fusion"][3]["rcu2"], stages[3])
     for k in (2, 1, 0):
-        y = _resize(y, stages[k].shape[1], stages[k].shape[2])
+        y = _resize_ac(y, stages[k].shape[1], stages[k].shape[2])
+        y = conv2d(params["fusion"][k + 1]["out"], y)
         x = _rcu(params["fusion"][k]["rcu1"], stages[k])
         y = _rcu(params["fusion"][k]["rcu2"], y + x)
-        y = conv2d(params["fusion"][k]["out"], y)
+    # refinenet1's trailing 2x upsample (to 8x the patch grid) + out_conv
+    y = _resize_ac(y, 2 * stages[0].shape[1], 2 * stages[0].shape[2])
+    y = conv2d(params["fusion"][0]["out"], y)
 
     # output head at full image resolution
     y = conv2d(params["head1"], y)
-    y = _resize(y, H, W)
+    y = _resize_ac(y, H, W)
     y = jax.nn.relu(conv2d(params["head2"], y))
     out = conv2d(params["head_out"], y).astype(jnp.float32)
 

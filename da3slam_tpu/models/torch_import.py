@@ -167,6 +167,13 @@ def import_torch_encoder(
     assign(enc["norm"], "scale", enc["norm"]["scale"].shape, _candidates("norm.weight"))
     assign(enc["norm"], "bias", enc["norm"]["bias"].shape, _candidates("norm.bias"))
 
+    # tensors with no role here (e.g. DINOv2's mask_token) are consumed so
+    # they don't pollute the "unused" report
+    for ignored in _IGNORED_CKPT_KEYS:
+        for cand in _candidates(ignored):
+            if cand in sd:
+                used.add(cand)
+
     new_params = dict(params)
     new_params["encoder"] = enc
     unused = sorted(set(sd) - used)
@@ -217,6 +224,22 @@ def _dpt_name_map() -> list[tuple[tuple, str]]:
     m.append((("head2",), "depth_head.scratch.output_conv2.0"))
     m.append((("head_out",), "depth_head.scratch.output_conv2.2"))
     return m
+
+
+# learned tap-resampling layers (published ``depth_head.resize_layers``):
+# taps 0/1 are ConvTranspose2d (torch weight [in, out, kh, kw]), tap 2 is
+# Identity (no tensors), tap 3 is a stride-2 Conv2d (torch [out, in, kh, kw])
+_DPT_RESIZE_MAP: list[tuple[str, str, bool]] = [
+    # (ours_key under params["dpt"]["resize"], theirs_base, is_transposed_conv)
+    ("r0", "depth_head.resize_layers.0", True),
+    ("r1", "depth_head.resize_layers.1", True),
+    ("r3", "depth_head.resize_layers.3", False),
+]
+
+# checkpoint tensors with no inference-time role here: consumed (so they
+# don't show up as "unused" noise) but not mapped.  DINOv2 checkpoints
+# always carry a mask_token (masked-image-modeling pretraining artifact).
+_IGNORED_CKPT_KEYS = ("mask_token",)
 
 
 # our camera-head linears ↔ torch camera-head naming (weight stored [out,in])
@@ -278,12 +301,20 @@ def import_torch_heads(
         matched.append(ckpt_names[0])
 
     conv_t = lambda w: np.transpose(np.asarray(w), (2, 3, 1, 0))  # noqa: E731
+    deconv_t = lambda w: np.transpose(np.asarray(w), (2, 3, 0, 1))  # noqa: E731
     lin_t = lambda w: np.asarray(w).T  # noqa: E731
 
     for path, base in _dpt_name_map():
         conv = _navigate(new_params["dpt"], path)
         assign(conv, "kernel", _head_candidates(f"{base}.weight"), conv_t)
         assign(conv, "bias", _head_candidates(f"{base}.bias"))
+
+    resize = new_params["dpt"].get("resize")
+    if resize is not None:
+        for ours, base, is_deconv in _DPT_RESIZE_MAP:
+            assign(resize[ours], "kernel", _head_candidates(f"{base}.weight"),
+                   deconv_t if is_deconv else conv_t)
+            assign(resize[ours], "bias", _head_candidates(f"{base}.bias"))
 
     cam = new_params["camera"]
     for ours_w, ours_b, base in _CAMERA_NAME_MAP:
@@ -355,6 +386,14 @@ def export_torch_style(params: Any) -> dict[str, np.ndarray]:
             conv = _navigate(params["dpt"], path)
             sd[f"{base}.weight"] = np.transpose(np.asarray(conv["kernel"]), (3, 2, 0, 1))
             sd[f"{base}.bias"] = np.asarray(conv["bias"])
+        resize = params["dpt"].get("resize")
+        if resize is not None:
+            for ours, base, is_deconv in _DPT_RESIZE_MAP:
+                k = np.asarray(resize[ours]["kernel"])  # HWIO
+                # ConvTranspose2d stores [in, out, kh, kw]; Conv2d [out, in, kh, kw]
+                sd[f"{base}.weight"] = np.transpose(k, (2, 3, 0, 1) if is_deconv
+                                                   else (3, 2, 0, 1))
+                sd[f"{base}.bias"] = np.asarray(resize[ours]["bias"])
     if "camera" in params:
         cam = params["camera"]
         for ours_w, ours_b, base in _CAMERA_NAME_MAP:

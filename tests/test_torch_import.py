@@ -126,3 +126,100 @@ class TestTorchImport:
         loaded = load_torch_checkpoint_file(tmp_path / "model.bin")
         assert set(loaded) == set(sd)
         np.testing.assert_array_equal(loaded["cls_token"], sd["cls_token"])
+
+
+class TestPublishedSchemaFixture:
+    """Non-circular name-map validation: the manifests under tests/fixtures
+    are written down from the PUBLISHED DINOv2 + DPT state-dict conventions
+    (see tests/fixtures/gen_torch_schema.py) without importing this repo's
+    mapping code — so any drift in torch_import's name map fails here even
+    though the roundtrip tests (which share the map) would still pass."""
+
+    @pytest.fixture(scope="class")
+    def schema(self):
+        import json
+        from pathlib import Path
+
+        p = Path(__file__).parent / "fixtures" / "torch_schema_small.json"
+        return json.loads(p.read_text())
+
+    @pytest.fixture(scope="class")
+    def manifest_sd(self, schema):
+        rng = np.random.default_rng(0)
+        return {
+            k: rng.normal(size=shape).astype(np.float32)
+            for k, shape in schema["keys"].items()
+        }
+
+    def test_zero_unmatched_keys(self, schema, manifest_sd):
+        """Every tensor of a published-schema checkpoint must be consumed,
+        and the only params left at init must be the documented ones
+        (bias-free published scratch convs)."""
+        cfg = get_preset("small")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        new_params, report = import_torch_checkpoint(manifest_sd, params, cfg)
+        assert report.unused == [], f"checkpoint tensors not consumed: {report.unused}"
+        assert sorted(report.missing) == sorted(schema["expected_missing"]), (
+            f"unexpected unmatched params: {report.missing}"
+        )
+
+    def test_tensors_actually_land(self, schema, manifest_sd):
+        """Spot-check that manifest tensors end up in the pytree with the
+        right transposition (torch [out,in] -> ours [in,out]; OIHW -> HWIO;
+        ConvTranspose [in,out,kh,kw] -> HWIO)."""
+        cfg = get_preset("small")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        p, _ = import_torch_checkpoint(manifest_sd, params, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(p["encoder"]["blocks"][3]["attn"]["qkv_w"]),
+            manifest_sd["blocks.3.attn.qkv.weight"].T,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(p["dpt"]["project"][2]["kernel"]),
+            np.transpose(manifest_sd["depth_head.projects.2.weight"], (2, 3, 1, 0)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(p["dpt"]["resize"]["r0"]["kernel"]),
+            np.transpose(manifest_sd["depth_head.resize_layers.0.weight"], (2, 3, 0, 1)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(p["camera"]["w_out"]),
+            manifest_sd["camera_head.out.weight"].T,
+        )
+
+    def test_pretraining_pos_embed_grid_adapts(self, schema, manifest_sd):
+        """Released pos_embed is the 37x37 (518/14) cls-first grid; it must
+        strip cls and resize onto our grid."""
+        cfg = get_preset("small")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        G = params["encoder"]["pos_embed"].shape[0]
+        p, report = import_torch_checkpoint(manifest_sd, params, cfg)
+        assert "pos_embed" in report.matched
+        assert p["encoder"]["pos_embed"].shape == (G, G, cfg.embed_dim)
+
+    def test_backbone_prefixed_variant(self, schema, manifest_sd):
+        """Checkpoints that nest the DINOv2 under a 'backbone.' prefix
+        (common in multi-head releases, incl. the NESTED-GIANT-LARGE
+        naming of configs/config1.yaml:2-5) must import identically."""
+        cfg = get_preset("small")
+        head_prefixes = ("depth_head.", "camera_head.")
+        sd = {
+            (k if k.startswith(head_prefixes) else f"backbone.{k}"): v
+            for k, v in manifest_sd.items()
+        }
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        p_plain, _ = import_torch_checkpoint(manifest_sd, params, cfg)
+        p_pref, report = import_torch_checkpoint(sd, params, cfg)
+        assert report.unused == [], report.unused
+        assert_pytree_equal(p_plain, p_pref)
+
+    def test_manifest_is_in_sync_with_generator(self, schema):
+        """The checked-in JSON must match its generator (guards hand-edits)."""
+        import importlib.util
+        from pathlib import Path
+
+        gen_path = Path(__file__).parent / "fixtures" / "gen_torch_schema.py"
+        spec = importlib.util.spec_from_file_location("gen_torch_schema", gen_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert mod.manifest("small") == schema
