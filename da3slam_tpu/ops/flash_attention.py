@@ -41,7 +41,7 @@ LN2 = 0.6931471805599453
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref,
     m_scr, acc_scr,
-    *, head_dim: int,
+    *, head_dim: int, k_splits: int = 1,
 ):
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -59,38 +59,50 @@ def _fwd_kernel(
     # padded keys — the MXU contraction of 64 already costs a full 128-deep
     # pass, so the mask rides the systolic array for free (no VPU masking,
     # no per-block iota, no pipeline-breaking conditional).
-    k = k_ref[0]  # [bk, Dk]
-    # [bk, Dp]: V columns 0..D-1, a ones-column at D, zeros beyond — built on
-    # the VPU per block (cheap: bk·Dp elems) instead of host-padding V, which
-    # would double its HBM streaming traffic
     Dp = acc_scr.shape[-1]
-    bk_rows = k.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bk_rows, Dp), 1)
-    v_pad = jnp.pad(v_ref[0], ((0, 0), (0, Dp - head_dim)))
-    v_ones = v_pad + (lane == head_dim).astype(v_pad.dtype)
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [bq, bk] base-2 logits (mask included via the bias column)
+    bk_rows = k_ref.shape[1]
+    sub = bk_rows // k_splits
 
-    m_prev = m_scr[:, :1]  # [bq, 1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
+    # ``k_splits`` > 1 unrolls the online-softmax recurrence over sub-blocks
+    # of the fetched K/V block.  The math is identical to running the k loop
+    # at block size bk/k_splits; the point is scheduling: each sub-block's
+    # QKᵀ has no data dependency on the previous sub-block's softmax, so
+    # Mosaic can hide the VPU passes (max / exp2 / astype — the ~25% tax
+    # this kernel pays at k_splits=1) behind the other sub-block's matmuls,
+    # while keeping the per-grid-step constant costs of the LARGE block.
+    for j in range(k_splits):
+        k = k_ref[0, j * sub:(j + 1) * sub]  # [sub, Dk] (static slice)
+        # [sub, Dp]: V columns 0..D-1, a ones-column at D, zeros beyond —
+        # built on the VPU per block (cheap) instead of host-padding V,
+        # which would double its HBM streaming traffic
+        lane = jax.lax.broadcasted_iota(jnp.int32, (sub, Dp), 1)
+        v_pad = jnp.pad(v_ref[0, j * sub:(j + 1) * sub],
+                        ((0, 0), (0, Dp - head_dim)))
+        v_ones = v_pad + (lane == head_dim).astype(v_pad.dtype)
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, sub] base-2 logits (mask included via the bias column)
 
-    alpha = jnp.exp2(m_prev - m_new)
-    p = jnp.exp2(s - m_new)
+        m_prev = m_scr[:, :1]  # [bq, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
 
-    # V is padded to 128 lanes with a ones-column at `head_dim`: the single
-    # MXU pass yields [p·V | rowsum(p)] — the softmax denominator rides the
-    # otherwise-wasted lanes (D=64 < 128) instead of a separate VPU reduce.
-    # The denominator column obeys the same rescale recurrence as the output.
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ones.dtype), v_ones,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+
+        # V is padded to 128 lanes with a ones-column at `head_dim`: the
+        # single MXU pass yields [p·V | rowsum(p)] — the softmax denominator
+        # rides the otherwise-wasted lanes (D=64 < 128) instead of a
+        # separate VPU reduce.  The denominator column obeys the same
+        # rescale recurrence as the output.
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ones.dtype), v_ones,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
 
     @pl.when(ki == n_k - 1)
     def _finalize():
@@ -116,11 +128,14 @@ def _fold(x, S, St, B, H, D, scale=None):
     return x
 
 
-def _flash_forward(q, k, v, block_q, block_k):
+def _flash_forward(q, k, v, block_q, block_k, k_splits=1):
     B, S, H, D = q.shape
     scale2 = LOG2E / (D**0.5)
     bq = min(block_q, _round_up(S, 128))
     bk = min(block_k, _round_up(S, 128))
+    while bk % (k_splits * 128) != 0:  # sub-blocks must stay lane-aligned
+        k_splits //= 2
+    k_splits = max(k_splits, 1)
     Sq = _round_up(S, bq)
     Sk = _round_up(S, bk)
 
@@ -151,7 +166,7 @@ def _flash_forward(q, k, v, block_q, block_k):
     grid = (B * H, Sq // bq, Sk // bk)
     Dp = _round_up(D + 1, 128)  # accumulator lanes: [p·V | rowsum(p) | 0…]
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, head_dim=D),
+        functools.partial(_fwd_kernel, head_dim=D, k_splits=k_splits),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, Dk), lambda b, qi, ki: (b, qi, 0)),
@@ -348,31 +363,38 @@ def _flash_backward(block_q, block_k, res, g):
 # public API
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_attention(q, k, v, block_q, block_k):
-    o, _ = _flash_forward(q, k, v, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention(q, k, v, block_q, block_k, k_splits):
+    o, _ = _flash_forward(q, k, v, block_q, block_k, k_splits)
     return o
 
 
-def _fwd_rule(q, k, v, block_q, block_k):
-    return _flash_forward(q, k, v, block_q, block_k)
+def _fwd_rule(q, k, v, block_q, block_k, k_splits):
+    return _flash_forward(q, k, v, block_q, block_k, k_splits)
 
 
-_flash_attention.defvjp(_fwd_rule, _flash_backward)
+def _bwd_rule(block_q, block_k, k_splits, res, g):
+    return _flash_backward(block_q, block_k, res, g)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+_flash_attention.defvjp(_fwd_rule, _bwd_rule)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "k_splits"))
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     block_q: int = 1024,
     block_k: int = 2048,
+    k_splits: int = 1,
 ) -> jax.Array:
     """Softmax(QKᵀ/√d)·V for ``[B, S, H, D]`` inputs (full attention).
 
     Differentiable (flash backward kernels via custom VJP).  Shapes are
     padded internally to block multiples; padded key columns are masked,
-    padded query rows are sliced off.
+    padded query rows are sliced off.  ``k_splits`` unrolls the forward's
+    online softmax over sub-blocks of each fetched K/V block to overlap
+    VPU softmax passes with the MXU matmuls (see _fwd_kernel).
     """
-    return _flash_attention(q, k, v, block_q, block_k)
+    return _flash_attention(q, k, v, block_q, block_k, k_splits)

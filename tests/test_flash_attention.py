@@ -115,3 +115,46 @@ class TestFlashBackward:
         )(q)
         np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(g), np.asarray(ref_g), atol=3e-4)
+
+
+class TestKSplits:
+    """k_splits unrolls the online softmax over sub-blocks of one fetched
+    K/V block (MXU/VPU overlap); the math must be bit-for-block identical
+    in effect to the unsplit recurrence."""
+
+    @pytest.mark.parametrize("k_splits", [2, 4])
+    @pytest.mark.parametrize("S", [512, 300])
+    def test_matches_xla(self, S, k_splits):
+        rng = np.random.default_rng(10)
+        q, k, v = rand_qkv(rng, 1, S, 2, 64)
+        out = flash_interp(q, k, v, block_q=256, block_k=256, k_splits=k_splits)
+        ref = xla_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_non_divisible_splits_degrade_gracefully(self):
+        """bk not divisible by 128*k_splits halves the split factor instead
+        of producing misaligned sub-blocks."""
+        rng = np.random.default_rng(11)
+        q, k, v = rand_qkv(rng, 1, 384, 2, 64)
+        out = flash_interp(q, k, v, block_q=128, block_k=384, k_splits=4)
+        ref = xla_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_grad_matches_unsplit(self):
+        rng = np.random.default_rng(12)
+        q, k, v = rand_qkv(rng, 1, 256, 2, 64)
+
+        def loss(fn):
+            def f(q, k, v):
+                return jnp.sum(fn(q, k, v) ** 2)
+            return f
+
+        with interpret_mode():
+            f_split = loss(lambda q, k, v: flash_attention.__wrapped__(
+                q, k, v, block_q=128, block_k=256, k_splits=2))
+            f_plain = loss(lambda q, k, v: flash_attention.__wrapped__(
+                q, k, v, block_q=128, block_k=256))
+            gs = jax.grad(f_split, argnums=(0, 1, 2))(q, k, v)
+            gp = jax.grad(f_plain, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gs, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
