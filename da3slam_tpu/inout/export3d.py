@@ -92,17 +92,12 @@ def write_glb_pointcloud(path: str | Path, points: np.ndarray, colors: np.ndarra
 
 
 def export_glb(prediction, path: str | Path, stride: int = 2, conf_threshold: float = 1.0) -> None:
-    """Fused world point cloud of a Prediction → GLB."""
-    import jax.numpy as jnp
-
-    from da3slam_tpu.core.geometry import backproject_depth
-
-    pts = np.asarray(
-        backproject_depth(
-            jnp.asarray(prediction.depth),
-            jnp.asarray(prediction.intrinsics),
-            jnp.asarray(prediction.extrinsics),
-        )
+    """Fused world point cloud of a Prediction → GLB (host-side, see
+    ``_backproject_np``)."""
+    pts = _backproject_np(
+        np.asarray(prediction.depth),
+        np.asarray(prediction.intrinsics),
+        np.asarray(prediction.extrinsics),
     )
     cols = np.asarray(prediction.processed_images)
     conf = np.asarray(prediction.conf)
@@ -240,6 +235,24 @@ def _rotmat_to_quat_np(R: np.ndarray) -> np.ndarray:
     return q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
 
 
+def _backproject_np(depth: np.ndarray, K: np.ndarray, E: np.ndarray) -> np.ndarray:
+    """Host backprojection: ``[N,H,W] depth, [N,3,3] K, [N,3,4] w2c`` →
+    world points ``[N,H,W,3]`` (mirrors core.geometry.backproject_depth)."""
+    N, H, W = depth.shape
+    v, u = np.meshgrid(np.arange(H, dtype=np.float64),
+                       np.arange(W, dtype=np.float64), indexing="ij")
+    fx, fy = K[:, 0, 0], K[:, 1, 1]
+    cx, cy = K[:, 0, 2], K[:, 1, 2]
+    x = (u[None] - cx[:, None, None]) / fx[:, None, None]
+    y = (v[None] - cy[:, None, None]) / fy[:, None, None]
+    cam = np.stack([x * depth, y * depth, depth.astype(np.float64)], axis=-1)
+    R, t = E[:, :3, :3].astype(np.float64), E[:, :3, 3].astype(np.float64)
+    # c2w: p_w = Rᵀ (p_c - t), as a batched BLAS matmul — np.einsum's
+    # c_einsum path is ~50x slower on this broadcast pattern
+    flat = (cam.reshape(N, H * W, 3) - t[:, None, :]) @ R
+    return flat.reshape(N, H, W, 3).astype(np.float32)
+
+
 def prediction_to_3dgs(
     prediction,
     path: str | Path,
@@ -254,19 +267,16 @@ def prediction_to_3dgs(
     from depth gradients (tangent-plane disks, thin along the normal);
     ``False`` restores isotropic balls of the metric pixel footprint
     ``stride * z / fx``.  Opacity comes from normalised confidence.
-    Returns the number of gaussians written."""
-    import jax.numpy as jnp
+    Returns the number of gaussians written.
 
-    from da3slam_tpu.core.geometry import backproject_depth
-
+    Backprojection runs host-side in numpy (same math as
+    core.geometry.backproject_depth, unit-tested against it): export is an
+    offline host path, and a device round-trip of the full point map would
+    cost more than the geometry on remote/tunneled backends."""
     depth = np.asarray(prediction.depth)
     conf = np.asarray(prediction.conf)
     K = np.asarray(prediction.intrinsics)
-    pts = np.asarray(
-        backproject_depth(
-            jnp.asarray(depth), jnp.asarray(K), jnp.asarray(prediction.extrinsics)
-        )
-    )
+    pts = _backproject_np(depth, K, np.asarray(prediction.extrinsics))
     cols = np.asarray(prediction.processed_images)
 
     pts_g = pts[:, ::stride, ::stride]

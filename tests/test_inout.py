@@ -173,3 +173,28 @@ class TestTrajectory:
 
         pts, cols = read_ply(tmp_path / "camera_poses.ply")
         np.testing.assert_allclose(pts, poses[:, :3, 3], atol=1e-5)
+
+
+class TestHostBackprojection:
+    def test_matches_device_backprojection(self):
+        """export3d's host-numpy backprojection must match the canonical
+        core.geometry.backproject_depth (world coords, w2c extrinsics)."""
+        import jax.numpy as jnp
+
+        from da3slam_tpu.core.geometry import backproject_depth
+        from da3slam_tpu.core.transforms import so3_exp
+        from da3slam_tpu.inout.export3d import _backproject_np
+
+        rng = np.random.default_rng(0)
+        N, H, W = 3, 17, 23
+        depth = rng.uniform(0.3, 5.0, (N, H, W)).astype(np.float32)
+        K = np.tile(np.array([[50.0, 0, 11], [0, 55.0, 8], [0, 0, 1]],
+                             np.float32), (N, 1, 1))
+        R = np.asarray(so3_exp(jnp.asarray(rng.normal(size=(N, 3)) * 0.3)))
+        t = rng.normal(size=(N, 3)).astype(np.float64)
+        E = np.concatenate([R, t[..., None]], axis=-1).astype(np.float32)
+
+        ours = _backproject_np(depth, K, E)
+        ref = np.asarray(backproject_depth(
+            jnp.asarray(depth), jnp.asarray(K), jnp.asarray(E)))
+        np.testing.assert_allclose(ours, ref, atol=1e-4)

@@ -137,7 +137,10 @@ class TestGraftEntry:
 
         g.dryrun_multichip(8)
 
+    @pytest.mark.slow
     def test_dryrun_multichip_2(self):
+        # slow: ~95 s — the driver exercises this exact path every round,
+        # and the 8-device variant covers it in the -m '' run
         import sys
         sys.path.insert(0, "/root/repo")
         import __graft_entry__ as g

@@ -170,3 +170,24 @@ class TestHostCLIs:
         fake.write_bytes(b"not a video")
         with pytest.raises(RuntimeError, match="ffmpeg|video"):
             video_to_frames(fake, tmp_path / "frames")
+
+
+class TestTileHistograms:
+    def test_matches_numpy_bincount(self):
+        from da3slam_tpu.preprocess.device import _tile_histograms
+
+        rng = np.random.default_rng(0)
+        bins = rng.integers(0, 256, size=(4, 4, 999)).astype(np.int32)
+        hist = np.asarray(_tile_histograms(jnp.asarray(bins), 256))
+        ref = np.stack([
+            np.stack([np.bincount(bins[i, j], minlength=256) for j in range(4)])
+            for i in range(4)
+        ]).astype(np.float32)
+        np.testing.assert_array_equal(hist, ref)
+
+    def test_degenerate_single_value(self):
+        from da3slam_tpu.preprocess.device import _tile_histograms
+
+        bins = jnp.full((2, 2, 50), 7, jnp.int32)
+        hist = np.asarray(_tile_histograms(bins, 16))
+        assert hist[0, 0, 7] == 50 and hist.sum() == 4 * 50

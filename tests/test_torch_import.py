@@ -151,25 +151,31 @@ class TestPublishedSchemaFixture:
             for k, shape in schema["keys"].items()
         }
 
-    def test_zero_unmatched_keys(self, schema, manifest_sd):
+    @pytest.fixture(scope="class")
+    def init_small(self):
+        # SMALL-tier init is the expensive part (~20 s on CPU); share it
+        return init_params(jax.random.PRNGKey(0), get_preset("small"))
+
+    @pytest.fixture(scope="class")
+    def imported(self, manifest_sd, init_small):
+        cfg = get_preset("small")
+        return import_torch_checkpoint(manifest_sd, init_small, cfg)
+
+    def test_zero_unmatched_keys(self, schema, imported):
         """Every tensor of a published-schema checkpoint must be consumed,
         and the only params left at init must be the documented ones
         (bias-free published scratch convs)."""
-        cfg = get_preset("small")
-        params = init_params(jax.random.PRNGKey(0), cfg)
-        new_params, report = import_torch_checkpoint(manifest_sd, params, cfg)
+        _, report = imported
         assert report.unused == [], f"checkpoint tensors not consumed: {report.unused}"
         assert sorted(report.missing) == sorted(schema["expected_missing"]), (
             f"unexpected unmatched params: {report.missing}"
         )
 
-    def test_tensors_actually_land(self, schema, manifest_sd):
+    def test_tensors_actually_land(self, schema, manifest_sd, imported):
         """Spot-check that manifest tensors end up in the pytree with the
         right transposition (torch [out,in] -> ours [in,out]; OIHW -> HWIO;
         ConvTranspose [in,out,kh,kw] -> HWIO)."""
-        cfg = get_preset("small")
-        params = init_params(jax.random.PRNGKey(0), cfg)
-        p, _ = import_torch_checkpoint(manifest_sd, params, cfg)
+        p, _ = imported
         np.testing.assert_array_equal(
             np.asarray(p["encoder"]["blocks"][3]["attn"]["qkv_w"]),
             manifest_sd["blocks.3.attn.qkv.weight"].T,
@@ -187,17 +193,16 @@ class TestPublishedSchemaFixture:
             manifest_sd["camera_head.out.weight"].T,
         )
 
-    def test_pretraining_pos_embed_grid_adapts(self, schema, manifest_sd):
+    def test_pretraining_pos_embed_grid_adapts(self, schema, init_small, imported):
         """Released pos_embed is the 37x37 (518/14) cls-first grid; it must
         strip cls and resize onto our grid."""
         cfg = get_preset("small")
-        params = init_params(jax.random.PRNGKey(0), cfg)
-        G = params["encoder"]["pos_embed"].shape[0]
-        p, report = import_torch_checkpoint(manifest_sd, params, cfg)
+        G = init_small["encoder"]["pos_embed"].shape[0]
+        p, report = imported
         assert "pos_embed" in report.matched
         assert p["encoder"]["pos_embed"].shape == (G, G, cfg.embed_dim)
 
-    def test_backbone_prefixed_variant(self, schema, manifest_sd):
+    def test_backbone_prefixed_variant(self, schema, manifest_sd, init_small, imported):
         """Checkpoints that nest the DINOv2 under a 'backbone.' prefix
         (common in multi-head releases, incl. the NESTED-GIANT-LARGE
         naming of configs/config1.yaml:2-5) must import identically."""
@@ -207,9 +212,8 @@ class TestPublishedSchemaFixture:
             (k if k.startswith(head_prefixes) else f"backbone.{k}"): v
             for k, v in manifest_sd.items()
         }
-        params = init_params(jax.random.PRNGKey(0), cfg)
-        p_plain, _ = import_torch_checkpoint(manifest_sd, params, cfg)
-        p_pref, report = import_torch_checkpoint(sd, params, cfg)
+        p_plain, _ = imported
+        p_pref, report = import_torch_checkpoint(sd, init_small, cfg)
         assert report.unused == [], report.unused
         assert_pytree_equal(p_plain, p_pref)
 
