@@ -15,6 +15,7 @@ from da3slam_tpu.parallel.mesh import make_mesh  # noqa: F401
 from da3slam_tpu.parallel.sharding import param_shardings, batch_sharding  # noqa: F401
 from da3slam_tpu.parallel.train import (  # noqa: F401
     TrainState,
+    make_pp_train_step,
     make_sp_train_step,
     make_train_step,
     synthetic_batch,

@@ -171,6 +171,77 @@ def make_sp_train_step(
     return init_fn, step_fn, place_batch
 
 
+def make_pp_train_step(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    n_stages: int | None = None,
+    learning_rate: float = 1e-4,
+    dtype=jnp.float32,
+    attn_impl: str = "xla",
+):
+    """Pipeline-parallel train step (GPipe): stage-sharded encoder blocks.
+
+    The forward is ``pp_forward.make_pp_encode``'s microbatch ring; the
+    backward needs no hand-written 1F1B schedule — ``jax.grad``
+    differentiates straight through the ``shard_map``/``lax.scan``/
+    ``ppermute`` pipeline, and the transposed ``ppermute`` runs the ring in
+    reverse, which IS the synchronous GPipe backward (bubble
+    ``2(S-1)/(M+S-1)``).  Stage weights, their grads, and their AdamW
+    moments all live sharded over the ``pp`` axis — per-chip optimizer
+    memory shrinks by the stage count, the point of pp for the giant tier.
+
+    Loss: the DPT taps assembled from the stages feed the (replicated)
+    depth head per microbatch; confidence-weighted SI-log depth loss.
+    Batch = dict(images [M, N, H, W, 3] normalised, depth [M, N, H, W]).
+
+    Returns ``(init_fn, step_fn, place_batch)``; state.params is
+    ``(stage_params, rest, dpt)``.
+    """
+    from da3slam_tpu.models import dpt, vit
+    from da3slam_tpu.parallel.pp_forward import make_pp_encode, split_encoder_params
+
+    if n_stages is None:
+        n_stages = mesh.shape["pp"]
+    tx = optax.adamw(learning_rate)
+    encode_pp = make_pp_encode(cfg, mesh, n_stages, attn_impl, dtype)
+
+    def loss_fn(params, batch):
+        stage_params, rest, dpt_params = params
+        taps, _final = encode_pp(stage_params, rest, batch["images"])
+        H, W = batch["images"].shape[2], batch["images"].shape[3]
+        grid = (H // cfg.patch_size, W // cfg.patch_size)
+
+        def head(taps_m):
+            depth, conf, _rays = dpt.apply_dpt(
+                dpt_params, list(taps_m), grid, (H, W), cfg
+            )
+            return depth, conf
+
+        depth, conf = jax.vmap(head)(taps)  # [M, N, H, W]
+        flat = lambda a: a.reshape((-1,) + a.shape[2:])  # noqa: E731
+        return depth_loss(flat(depth), flat(conf), flat(batch["depth"]))
+
+    def init_fn(seed: int = 0) -> TrainState:
+        full = init_params(jax.random.PRNGKey(seed), cfg)
+        stage_params, rest = split_encoder_params(full["encoder"], n_stages, mesh)
+        rest = jax.device_put(rest, replicated(mesh))
+        dpt_params = jax.device_put(full["dpt"], replicated(mesh))
+        params = (stage_params, rest, dpt_params)
+        return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: TrainState, batch) -> tuple[TrainState, jax.Array]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def place_batch(batch):
+        return jax.device_put(batch, replicated(mesh))
+
+    return init_fn, step_fn, place_batch
+
+
 def synthetic_batch(cfg: ModelConfig, batch: int, n_views: int, hw: tuple[int, int], seed=0):
     """Tiny synthetic supervised batch for smoke tests / dryruns."""
     import numpy as np
