@@ -24,6 +24,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stride", type=int, default=2)
     p.add_argument("--conf_threshold", type=float, default=1.0)
     p.add_argument("--process_res", type=int, default=504)
+    p.add_argument("--refine_iters", type=int, default=0,
+                   help="multi-view consistency refinement steps over the "
+                        "splats (ops/splats.py): positions snap to the "
+                        "fused geometry, colors to the observed pixels, "
+                        "opacity fades for unsupported splats (0 = off)")
     return p
 
 
@@ -80,9 +85,32 @@ def main(argv=None) -> None:
         extrinsics=np.concatenate(exts).astype(np.float32),
         intrinsics=np.concatenate([p.intrinsics for p in preds]),
     )
-    n = prediction_to_3dgs(
-        merged, args.output, stride=args.stride, conf_threshold=args.conf_threshold
-    )
+    if args.refine_iters > 0:
+        from da3slam_tpu.inout.export3d import export_3dgs_ply, splats_from_prediction
+        from da3slam_tpu.ops.splats import refine_splats
+
+        d = splats_from_prediction(
+            merged, stride=args.stride, conf_threshold=args.conf_threshold
+        )
+        res = refine_splats(
+            jnp.asarray(d["points"]), jnp.asarray(d["colors"]),
+            jnp.asarray(d["opacity"]),
+            jnp.asarray(merged.depth), jnp.asarray(merged.processed_images),
+            jnp.asarray(merged.intrinsics), jnp.asarray(merged.extrinsics),
+            iters=args.refine_iters,
+        )
+        export_3dgs_ply(
+            args.output, np.asarray(res.points),
+            np.asarray(res.colors), d["scales"], np.asarray(res.opacity),
+            rotations=d["rotations"],
+        )
+        n = d["points"].shape[0]
+        print(f"refined {args.refine_iters} iters "
+              f"(mean support {float(res.support.mean()):.2f})")
+    else:
+        n = prediction_to_3dgs(
+            merged, args.output, stride=args.stride, conf_threshold=args.conf_threshold
+        )
     print(f"wrote {n} gaussians to {args.output}")
     if args.glb:
         export_glb(merged, args.glb, stride=args.stride, conf_threshold=args.conf_threshold)

@@ -253,6 +253,24 @@ def _backproject_np(depth: np.ndarray, K: np.ndarray, E: np.ndarray) -> np.ndarr
     return flat.reshape(N, H, W, 3).astype(np.float32)
 
 
+def splats_from_prediction(
+    prediction,
+    stride: int = 2,
+    conf_threshold: float = 1.0,
+    opacity_scale: float = 0.5,
+    anisotropic: bool = True,
+) -> dict[str, np.ndarray]:
+    """Depth+conf prediction → gaussian attribute arrays (no file IO).
+
+    Returns dict(points [G,3], colors [G,3] uint8, scales [G] or [G,3],
+    opacity [G], rotations [G,4] or None) — feed to ``export_3dgs_ply``
+    directly or through ``ops.splats.refine_splats`` first."""
+    d = _prediction_to_3dgs_arrays(
+        prediction, stride, conf_threshold, opacity_scale, anisotropic
+    )
+    return d
+
+
 def prediction_to_3dgs(
     prediction,
     path: str | Path,
@@ -273,6 +291,17 @@ def prediction_to_3dgs(
     core.geometry.backproject_depth, unit-tested against it): export is an
     offline host path, and a device round-trip of the full point map would
     cost more than the geometry on remote/tunneled backends."""
+    d = _prediction_to_3dgs_arrays(
+        prediction, stride, conf_threshold, opacity_scale, anisotropic
+    )
+    export_3dgs_ply(path, d["points"], d["colors"], d["scales"], d["opacity"],
+                    rotations=d["rotations"])
+    return int(d["points"].shape[0])
+
+
+def _prediction_to_3dgs_arrays(
+    prediction, stride, conf_threshold, opacity_scale, anisotropic
+) -> dict[str, np.ndarray]:
     depth = np.asarray(prediction.depth)
     conf = np.asarray(prediction.conf)
     K = np.asarray(prediction.intrinsics)
@@ -294,10 +323,15 @@ def prediction_to_3dgs(
         frames = [_splat_frames(p) for p in pts_g]  # per view (no cross-view grads)
         scales = np.concatenate([f[0].reshape(-1, 3) for f in frames])[keep]
         quats = np.concatenate([f[1].reshape(-1, 4) for f in frames])[keep]
-        export_3dgs_ply(path, pts_s[keep], cols_s[keep], scales, op, rotations=quats)
     else:
         fx = K[:, 0, 0][:, None, None]
         radius = stride * depth / fx  # metric footprint of a (strided) pixel
-        rad_s = radius[:, ::stride, ::stride].reshape(-1)
-        export_3dgs_ply(path, pts_s[keep], cols_s[keep], rad_s[keep], op)
-    return int(keep.sum())
+        scales = radius[:, ::stride, ::stride].reshape(-1)[keep]
+        quats = None
+    return {
+        "points": pts_s[keep],
+        "colors": cols_s[keep],
+        "scales": scales,
+        "opacity": op,
+        "rotations": quats,
+    }

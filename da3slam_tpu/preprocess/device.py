@@ -87,11 +87,13 @@ def _tile_histograms(bins: jax.Array, n_bins: int) -> jax.Array:
     """Per-tile histograms of integer bin indices ``[..., P]`` → ``[..., B]``.
 
     Sort + vectorized binary search for the cumulative counts, then
-    difference: O(P log²P) local work and O(P + B) memory per tile.  The
-    naive ``one_hot(bins).sum()`` is O(P·B) MATERIALIZED — at 504², 8×8
-    tiles, 256 bins that is a ~4 GB f32 intermediate per frame streamed
-    through HBM, which made the histogram the dominant cost of the whole
-    ingest kernel (measured: preprocess_fps ~121 on a v5e with one-hot)."""
+    difference: O(P log²P) work and O(P + B) memory per tile, vs the
+    one-hot formulation's O(P·B).  Measured head-to-head on a v5e the two
+    are EQUAL inside preprocess_batch (165.8 vs 165.7 ms per 16×504²
+    batch — XLA fuses the one-hot into its reduction, so the O(P·B)
+    intermediate never hits HBM); this formulation is kept for its bounded
+    memory guarantee, which holds for any tile size / bin count rather
+    than relying on that fusion firing."""
     sorted_bins = jnp.sort(bins, axis=-1)
     edges = jnp.arange(n_bins, dtype=bins.dtype)
 

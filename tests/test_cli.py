@@ -104,3 +104,18 @@ class TestMain3DGS:
         assert gltf["meshes"][0]["primitives"][0]["mode"] == 0  # POINTS
         n = gltf["accessors"][0]["count"]
         assert n > 1000
+
+    def test_refine_iters_path(self, image_dir, tmp_path):
+        """--refine_iters routes through ops/splats.refine_splats and still
+        writes a valid 3DGS PLY."""
+        from da3slam_tpu.cli.main_3dgs import main
+
+        out = tmp_path / "scene_refined.ply"
+        main([
+            "--image_dir", str(image_dir), "--model", "tiny",
+            "--chunk_size", "4", "--output", str(out),
+            "--process_res", "70", "--stride", "4", "--refine_iters", "5",
+        ])
+        header = out.read_bytes()[:600].decode("ascii", "ignore")
+        for prop in ["f_dc_0", "opacity", "scale_0", "rot_3"]:
+            assert f"property float {prop}" in header
