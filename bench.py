@@ -156,9 +156,11 @@ def bench_flash_attention_tflops(n_reps: int = 2) -> float:
         # scan the kernel against itself inside ONE dispatch: through the
         # dev tunnel each jit call pays ~50 ms of relay RTT, which would
         # swamp an ~11 ms kernel measured call-by-call; lax.scan keeps the
-        # compile cost at one kernel instance regardless of chain length
+        # compile cost at one kernel instance regardless of chain length.
+        # stable=False = the max-free norm-bound forward, the mode the
+        # model's attention dispatch actually runs (ops/attention.py).
         def body(o, _):
-            return flash_attention(o, k, v), None
+            return flash_attention(o, k, v, stable=False), None
 
         o, _ = jax.lax.scan(body, q, None, length=CHAIN)
         return o

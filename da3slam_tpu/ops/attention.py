@@ -41,10 +41,20 @@ def multi_head_attention(
     use_flash = impl == "pallas" or (
         impl == "auto"
         and q.shape[1] >= FLASH_MIN_SEQ
+        # the flash kernels ride the spare MXU lanes (D < 128) for the
+        # softmax denominator; at D >= 128 that trick would double the
+        # matmul width, so wide-head configs stay on XLA's fused path
+        and q.shape[-1] < 128
         and jax.default_backend() == "tpu"
     )
     if use_flash:
         from da3slam_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v)
+        # stable=False: the max-free norm-bound forward (67 → 81 TF/s at
+        # the cross-view hot shape).  Sound here by construction — every
+        # q/k entering this dispatch comes out of the encoder's LayerNorm
+        # + learned projections, whose activation norms sit orders of
+        # magnitude below the bound-precision cliff the flash_attention
+        # docstring describes.
+        return flash_attention(q, k, v, stable=False)
     return jax.nn.dot_product_attention(q, k, v)

@@ -113,6 +113,72 @@ def _fwd_kernel(
         lse_ref[0] = jnp.broadcast_to(m_scr[:, :1] + jnp.log2(l_fin), lse_ref.shape[1:])
 
 
+def _fwd_kernel_bound(
+    q_ref, k_ref, v_ref, m_ref, o_ref, lse_ref,
+    acc_scr,
+    *, head_dim: int, seq_k: int,
+):
+    """Max-free forward: the softmax shift is a PRECOMPUTED per-row upper
+    bound m_i = |q'_i|·max_j|k_j| ≥ s_ij (Cauchy–Schwarz), so the online
+    recurrence degenerates to a plain accumulation — no [bq, bk] max
+    reduce, no accumulator rescale, no running-max scratch.  Those VPU
+    passes were ~25% of the kernel's critical path (ROADMAP round-3
+    analysis); measured: 67 → 81 TF/s at the SLAM hot shape.
+
+    Soundness: m bounds every logit, so p = exp2(s - m) ≤ 1 and the f32
+    accumulator cannot overflow.  Precision: p loses δ = m - max_j s_ij
+    bits of mantissa; δ is small for peaky attention (the best-matching
+    key approaches the bound) and ~(1-cos)·|q||k| for diffuse attention —
+    catastrophic only for enormous-norm diffuse inputs (δ > ~120 underflows
+    every p), which layernormed transformer activations never approach.
+    ``stable=True`` restores the running-max kernel for such inputs.
+    """
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    Dp = acc_scr.shape[-1]
+    sub = k.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, Dp), 1)
+    v_pad = jnp.pad(v_ref[0], ((0, 0), (0, Dp - head_dim)))
+    v_ones = v_pad + (lane == head_dim).astype(v_pad.dtype)
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp2(s - m_ref[0][:, :1])
+    # padding mask: unlike the stable kernel's bias column (which pads q/K
+    # to 128 lanes and doubles their HBM streaming), bound mode keeps
+    # Dk = D and zeroes the padded keys' p directly.  The predicate is
+    # UNCONDITIONAL — `(ki < n_k-1) | (col < valid)` fuses into the exp2
+    # VPU pass for free, whereas wrapping it in `lax.cond` on the last
+    # block serialises Mosaic's pipeline and HALVES kernel throughput
+    # (measured 81.6 vs 40.2 TF/s; tools/flash_bound_bisect.py)
+    n_pad = n_k * sub - seq_k
+    if n_pad > 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        p = jnp.where((ki < n_k - 1) | (col < sub - n_pad), p, 0.0)
+    acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+        p.astype(v_ones.dtype), v_ones,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == n_k - 1)
+    def _finalize():
+        l_fin = jnp.maximum(acc_scr[:, head_dim:head_dim + 1], 1e-30)
+        o_ref[0] = (acc_scr[:, :head_dim] / l_fin).astype(o_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(
+            m_ref[0][:, :1] + jnp.log2(l_fin), lse_ref.shape[1:]
+        )
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -128,8 +194,18 @@ def _fold(x, S, St, B, H, D, scale=None):
     return x
 
 
-def _flash_forward(q, k, v, block_q, block_k, k_splits=1):
+def _flash_forward(q, k, v, block_q, block_k, k_splits=1, stable=False):
     B, S, H, D = q.shape
+    # Both forwards accumulate [p·V | rowsum(p)] in Dp = round_up(D+1, 128)
+    # lanes so the softmax denominator rides the MXU's spare width; at
+    # D >= 128 that (and the stable path's mask-bias column) would double
+    # the matmul width for one extra lane.  All DA3 presets use D = 64;
+    # the model-level dispatch (ops/attention.py) routes D >= 128 to XLA.
+    assert D < 128, (
+        f"flash_attention: head_dim={D} >= 128 would double the PV matmul "
+        "width for the denominator lane; use jax.nn.dot_product_attention "
+        "or add a separate-denominator kernel variant"
+    )
     scale2 = LOG2E / (D**0.5)
     bq = min(block_q, _round_up(S, 128))
     bk = min(block_k, _round_up(S, 128))
@@ -143,17 +219,10 @@ def _flash_forward(q, k, v, block_q, block_k, k_splits=1):
     kf = _fold(k, S, Sk, B, H, D)
     vf = _fold(v, S, Sk, B, H, D)
 
-    if Sk != S:
+    if Sk != S and stable:
         # padding mask as a matmul bias column (see _fwd_kernel comment).
-        # The bias-column trick is free only while D < 128 (the contraction
-        # is 128-deep either way); at D = 128 it would double the QK/PV
-        # matmul depth for one bias lane — all DA3 presets use D = 64, so
-        # guard loudly rather than silently paying 2x.
-        assert D < 128, (
-            f"flash_attention: head_dim={D} >= 128 with an unaligned sequence "
-            f"(S={S}) would double the matmul width for the padding-bias "
-            "column; pad S to a block multiple or add an iota-mask path"
-        )
+        # Free while D < 128 (the contraction is 128-deep either way) —
+        # guaranteed by the head_dim assert above.
         Dk = _round_up(D + 1, 128)
         qf = jnp.pad(qf, ((0, 0), (0, 0), (0, Dk - D)))
         qf = qf.at[:, :, D].set(1.0)
@@ -165,32 +234,56 @@ def _flash_forward(q, k, v, block_q, block_k, k_splits=1):
 
     grid = (B * H, Sq // bq, Sk // bk)
     Dp = _round_up(D + 1, 128)  # accumulator lanes: [p·V | rowsum(p) | 0…]
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, head_dim=D, k_splits=k_splits),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, Dk), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bk, Dk), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bq, 8), lambda b, qi, ki: (b, qi, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Sq, 8), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            # default scoped-vmem cap is 16 MiB; the [bq, bk] f32 score
-            # panels at the tuned block sizes need more (v5e has 128 MiB)
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),  # running max (lane-replicated)
-            pltpu.VMEM((bq, Dp), jnp.float32),  # output ∥ denominator accumulator
-        ],
-    )(qf, kf, vf)
+    qspec = pl.BlockSpec((1, bq, Dk), lambda b, qi, ki: (b, qi, 0))
+    kspec = pl.BlockSpec((1, bk, Dk), lambda b, qi, ki: (b, ki, 0))
+    vspec = pl.BlockSpec((1, bk, D), lambda b, qi, ki: (b, ki, 0))
+    rowq = pl.BlockSpec((1, bq, 8), lambda b, qi, ki: (b, qi, 0))
+    out_shape = (
+        jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
+        jax.ShapeDtypeStruct((B * H, Sq, 8), jnp.float32),
+    )
+    # default scoped-vmem cap is 16 MiB; the [bq, bk] f32 score panels at
+    # the tuned block sizes need more (v5e has 128 MiB)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    if stable:
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel, head_dim=D, k_splits=k_splits),
+            grid=grid,
+            in_specs=[qspec, kspec, vspec],
+            out_specs=(
+                pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
+                rowq,
+            ),
+            out_shape=out_shape,
+            compiler_params=cparams,
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),  # running max (lane-replicated)
+                pltpu.VMEM((bq, Dp), jnp.float32),  # output ∥ denominator accumulator
+            ],
+        )(qf, kf, vf)
+    else:
+        # per-row softmax-shift bound m_i = |q'_i| · max_j |k_j| (true-D
+        # lanes only: the bias lane carries the mask, not signal).  Two
+        # tiny reductions host-side; XLA fuses them into the fold/pad copy.
+        qn = jnp.linalg.norm(qf[..., :D].astype(jnp.float32), axis=-1)
+        kn = jnp.linalg.norm(kf[..., :D].astype(jnp.float32), axis=-1)
+        m = qn * jnp.max(kn, axis=-1, keepdims=True)  # [BH, Sq]
+        m8 = jnp.tile(m[..., None], (1, 1, 8))
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel_bound, head_dim=D, seq_k=S),
+            grid=grid,
+            in_specs=[qspec, kspec, vspec, rowq],
+            out_specs=(
+                pl.BlockSpec((1, bq, D), lambda b, qi, ki: (b, qi, 0)),
+                rowq,
+            ),
+            out_shape=out_shape,
+            compiler_params=cparams,
+            scratch_shapes=[
+                pltpu.VMEM((bq, Dp), jnp.float32),  # output ∥ denominator
+            ],
+        )(qf, kf, vf, m8)
 
     o = jnp.swapaxes(out[:, :S, :].reshape(B, H, S, D), 1, 2)
     # residuals hold the primal `o` (aliases the returned value) rather than
@@ -363,38 +456,53 @@ def _flash_backward(block_q, block_k, res, g):
 # public API
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_attention(q, k, v, block_q, block_k, k_splits):
-    o, _ = _flash_forward(q, k, v, block_q, block_k, k_splits)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention(q, k, v, block_q, block_k, k_splits, stable):
+    o, _ = _flash_forward(q, k, v, block_q, block_k, k_splits, stable)
     return o
 
 
-def _fwd_rule(q, k, v, block_q, block_k, k_splits):
-    return _flash_forward(q, k, v, block_q, block_k, k_splits)
+def _fwd_rule(q, k, v, block_q, block_k, k_splits, stable):
+    return _flash_forward(q, k, v, block_q, block_k, k_splits, stable)
 
 
-def _bwd_rule(block_q, block_k, k_splits, res, g):
+def _bwd_rule(block_q, block_k, k_splits, stable, res, g):
+    # the backward recomputes p from the log-sum-exp, which is the same
+    # mathematical quantity under either forward — one backward serves both
     return _flash_backward(block_q, block_k, res, g)
 
 
 _flash_attention.defvjp(_fwd_rule, _bwd_rule)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "k_splits"))
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "k_splits", "stable")
+)
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     block_q: int = 1024,
-    block_k: int = 2048,
+    block_k: int = 3584,
     k_splits: int = 1,
+    stable: bool = True,
 ) -> jax.Array:
     """Softmax(QKᵀ/√d)·V for ``[B, S, H, D]`` inputs (full attention).
 
     Differentiable (flash backward kernels via custom VJP).  Shapes are
     padded internally to block multiples; padded key columns are masked,
-    padded query rows are sliced off.  ``k_splits`` unrolls the forward's
-    online softmax over sub-blocks of each fetched K/V block to overlap
-    VPU softmax passes with the MXU matmuls (see _fwd_kernel).
+    padded query rows are sliced off.
+
+    ``stable=False`` selects the max-FREE forward: the softmax shift is
+    the per-row norm bound |q_i|·max_j|k_j| (always ≥ every logit,
+    Cauchy–Schwarz), killing the per-block max reduce + accumulator
+    rescale — measured 67 → 81 TF/s at the SLAM hot shape (0.82 of the
+    D=64 speed-of-light on a v5e).  The cost is δ = bound − true-max bits
+    of p precision: negligible for layernormed transformer activations
+    (the model's attention dispatch opts in, ops/attention.py), but pathological
+    enormous-norm diffuse inputs can underflow every p to zero — hence
+    the safe default here.  ``k_splits`` (stable path only) unrolls the
+    online softmax over sub-blocks — a measured negative on v5e, kept
+    documented.
     """
-    return _flash_attention(q, k, v, block_q, block_k, k_splits)
+    return _flash_attention(q, k, v, block_q, block_k, k_splits, stable)

@@ -158,3 +158,59 @@ class TestKSplits:
             gp = jax.grad(f_plain, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(gs, gp):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestBoundMode:
+    """Max-free forward (stable=False): per-row norm-bound softmax shift.
+    Must match XLA at transformer-typical scales; the documented failure
+    mode (enormous-norm diffuse inputs underflow) is pinned explicitly."""
+
+    @pytest.mark.parametrize("S", [256, 300])
+    def test_matches_xla(self, S):
+        rng = np.random.default_rng(20)
+        q, k, v = rand_qkv(rng, 2, S, 3, 64)
+        out = flash_interp(q, k, v, block_q=128, block_k=128, stable=False)
+        ref = xla_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+    def test_bf16_layernormed_scale(self):
+        """Inputs at the scale the encoder feeds (layernorm + projection)."""
+        rng = np.random.default_rng(21)
+        q, k, v = rand_qkv(rng, 1, 512, 2, 64, jnp.bfloat16)
+        out = flash_interp(q, k, v, block_q=256, block_k=256, stable=False)
+        ref = xla_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+        )
+
+    def test_grads_match_stable(self):
+        """One backward serves both forwards: lse is the same quantity."""
+        rng = np.random.default_rng(22)
+        q, k, v = rand_qkv(rng, 1, 256, 2, 64)
+
+        def loss(stable):
+            def f(q, k, v):
+                out = flash_attention.__wrapped__(
+                    q, k, v, block_q=128, block_k=256, stable=stable)
+                return jnp.sum(out ** 2)
+            return f
+
+        with interpret_mode():
+            gb = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+            gs = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gb, gs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_documented_pathology_underflow(self):
+        """30x-scaled diffuse inputs: δ = bound - true max exceeds the f32
+        underflow range, every p flushes to zero and the output collapses —
+        the exact case the docstring routes to stable=True."""
+        rng = np.random.default_rng(23)
+        q, k, v = rand_qkv(rng, 1, 128, 1, 64)
+        q = q * 30.0
+        out = flash_interp(q, k, v, block_q=128, block_k=128, stable=False)
+        assert np.isfinite(np.asarray(out)).all()  # degrades to zeros, not NaN
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+        ok = flash_interp(q, k, v, block_q=128, block_k=128, stable=True)
+        np.testing.assert_allclose(np.asarray(ok), np.asarray(xla_attention(q, k, v)),
+                                   atol=1e-4)
