@@ -29,6 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "splats (ops/splats.py): positions snap to the "
                         "fused geometry, colors to the observed pixels, "
                         "opacity fades for unsupported splats (0 = off)")
+    p.add_argument("--train_iters", type=int, default=0,
+                   help="appearance-grade 3DGS training steps through the "
+                        "differentiable tile rasterizer (ops/rasterize.py): "
+                        "every splat attribute (position, scale, rotation, "
+                        "color, opacity) optimizes the rendered-vs-observed "
+                        "photometric loss across all views (0 = off; runs "
+                        "after --refine_iters if both are set)")
     return p
 
 
@@ -85,28 +92,53 @@ def main(argv=None) -> None:
         extrinsics=np.concatenate(exts).astype(np.float32),
         intrinsics=np.concatenate([p.intrinsics for p in preds]),
     )
-    if args.refine_iters > 0:
+    if args.refine_iters > 0 or args.train_iters > 0:
         from da3slam_tpu.inout.export3d import export_3dgs_ply, splats_from_prediction
-        from da3slam_tpu.ops.splats import refine_splats
 
         d = splats_from_prediction(
             merged, stride=args.stride, conf_threshold=args.conf_threshold
         )
-        res = refine_splats(
-            jnp.asarray(d["points"]), jnp.asarray(d["colors"]),
-            jnp.asarray(d["opacity"]),
-            jnp.asarray(merged.depth), jnp.asarray(merged.processed_images),
-            jnp.asarray(merged.intrinsics), jnp.asarray(merged.extrinsics),
-            iters=args.refine_iters,
-        )
+        points = jnp.asarray(d["points"])
+        colors = jnp.asarray(d["colors"])
+        opacity = jnp.asarray(d["opacity"])
+        scales = np.asarray(d["scales"])
+        rotations = d["rotations"]
+        if args.refine_iters > 0:
+            from da3slam_tpu.ops.splats import refine_splats
+
+            res = refine_splats(
+                points, colors, opacity,
+                jnp.asarray(merged.depth), jnp.asarray(merged.processed_images),
+                jnp.asarray(merged.intrinsics), jnp.asarray(merged.extrinsics),
+                iters=args.refine_iters,
+            )
+            points, colors, opacity = res.points, res.colors, res.opacity
+            print(f"refined {args.refine_iters} iters "
+                  f"(mean support {float(res.support.mean()):.2f})")
+        if args.train_iters > 0:
+            from da3slam_tpu.ops.splats import train_splats
+
+            quats = (jnp.asarray(rotations) if rotations is not None
+                     else jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]),
+                                   (points.shape[0], 1)))
+            hw = merged.depth.shape[1:3]
+            res = train_splats(
+                points, jnp.asarray(scales), quats, colors, opacity,
+                jnp.asarray(merged.processed_images),
+                jnp.asarray(merged.intrinsics), jnp.asarray(merged.extrinsics),
+                tuple(int(x) for x in hw), iters=args.train_iters,
+            )
+            points, colors, opacity = res.points, res.colors, res.opacity
+            scales, rotations = np.asarray(res.scales), np.asarray(res.quats)
+            print(f"trained {args.train_iters} iters "
+                  f"(photometric L1 {float(res.losses[0]):.4f} -> "
+                  f"{float(res.losses[-1]):.4f})")
         export_3dgs_ply(
-            args.output, np.asarray(res.points),
-            np.asarray(res.colors), d["scales"], np.asarray(res.opacity),
-            rotations=d["rotations"],
+            args.output, np.asarray(points),
+            np.asarray(colors), scales, np.asarray(opacity),
+            rotations=rotations,
         )
-        n = d["points"].shape[0]
-        print(f"refined {args.refine_iters} iters "
-              f"(mean support {float(res.support.mean()):.2f})")
+        n = int(points.shape[0])
     else:
         n = prediction_to_3dgs(
             merged, args.output, stride=args.stride, conf_threshold=args.conf_threshold

@@ -119,3 +119,33 @@ class TestMain3DGS:
         header = out.read_bytes()[:600].decode("ascii", "ignore")
         for prop in ["f_dc_0", "opacity", "scale_0", "rot_3"]:
             assert f"property float {prop}" in header
+
+    def test_train_iters_path(self, image_dir, tmp_path):
+        """--train_iters routes through the differentiable rasterizer
+        (ops/splats.train_splats) and writes a PLY whose rotations/scales
+        are the TRAINED ones (anisotropic, unit quats)."""
+        import numpy as np
+
+        from da3slam_tpu.cli.main_3dgs import main
+
+        out = tmp_path / "scene_trained.ply"
+        main([
+            "--image_dir", str(image_dir), "--model", "tiny",
+            "--chunk_size", "4", "--output", str(out),
+            "--process_res", "70", "--stride", "6", "--train_iters", "4",
+        ])
+        header = out.read_bytes()[:600].decode("ascii", "ignore")
+        for prop in ["f_dc_0", "opacity", "scale_0", "rot_3"]:
+            assert f"property float {prop}" in header
+        # parse back: quats stored on the trained path must be finite units
+        blob = out.read_bytes()
+        end = blob.index(b"end_header\n") + len(b"end_header\n")
+        head = blob[:end].decode("ascii")
+        n = int(next(l.split()[2] for l in head.splitlines()
+                     if l.startswith("element vertex")))
+        n_props = sum(1 for l in head.splitlines() if l.startswith("property"))
+        data = np.frombuffer(blob[end:], "<f4", count=n * n_props).reshape(n, n_props)
+        q = data[:, 13:17]  # rot_0..3 (see inout/export3d._GS_FIELDS)
+        assert np.isfinite(q).all()
+        norms = np.linalg.norm(q, axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
