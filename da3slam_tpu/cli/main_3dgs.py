@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "color, opacity) optimizes the rendered-vs-observed "
                         "photometric loss across all views (0 = off; runs "
                         "after --refine_iters if both are set)")
+    p.add_argument("--densify_every", type=int, default=0,
+                   help="during --train_iters, resample pruned splats into "
+                        "under-reconstructed regions every N steps "
+                        "(fixed-budget densification; 0 = off)")
     return p
 
 
@@ -127,6 +131,7 @@ def main(argv=None) -> None:
                 jnp.asarray(merged.processed_images),
                 jnp.asarray(merged.intrinsics), jnp.asarray(merged.extrinsics),
                 tuple(int(x) for x in hw), iters=args.train_iters,
+                densify_every=args.densify_every,
             )
             points, colors, opacity = res.points, res.colors, res.opacity
             scales, rotations = np.asarray(res.scales), np.asarray(res.quats)

@@ -206,6 +206,40 @@ def refine_splats(
     )
 
 
+def ssim(a: jax.Array, b: jax.Array, window: int = 11, sigma: float = 1.5,
+         c1: float = 0.01**2, c2: float = 0.03**2) -> jax.Array:
+    """Mean SSIM between ``[H, W, C]`` images in [0, 1] (separable gaussian
+    window as two depthwise convs — fixed-shape, differentiable)."""
+    r = window // 2
+    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    g = jnp.exp(-0.5 * (x / sigma) ** 2)
+    g = g / g.sum()
+
+    C = a.shape[-1]
+
+    def blur(img):  # [H, W, C] → gaussian-filtered, same shape
+        z = img.transpose(2, 0, 1)[:, None]          # [C, 1, H, W]
+        kh = jnp.tile(g[None, None, :, None], (C, 1, 1, 1))   # [C, 1, w, 1]
+        kw = jnp.tile(g[None, None, None, :], (C, 1, 1, 1))
+        dn = ("NCHW", "OIHW", "NCHW")
+        z = jax.lax.conv_general_dilated(
+            z.transpose(1, 0, 2, 3), kh, (1, 1), [(r, r), (0, 0)],
+            dimension_numbers=dn, feature_group_count=C)
+        z = jax.lax.conv_general_dilated(
+            z, kw, (1, 1), [(0, 0), (r, r)],
+            dimension_numbers=dn, feature_group_count=C)
+        return z[0].transpose(1, 2, 0)
+
+    mu_a, mu_b = blur(a), blur(b)
+    var_a = blur(a * a) - mu_a**2
+    var_b = blur(b * b) - mu_b**2
+    cov = blur(a * b) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    )
+    return jnp.mean(s)
+
+
 class TrainResult(NamedTuple):
     points: jax.Array    # [G, 3]
     scales: jax.Array    # [G, 3] per-axis radii (σ)
@@ -219,7 +253,8 @@ class TrainResult(NamedTuple):
     jax.jit,
     static_argnames=("iters", "img_hw", "tile", "max_per_tile", "fan",
                      "lr_points_rel", "lr_scales", "lr_quats", "lr_colors",
-                     "lr_opacity", "scale_reg"),
+                     "lr_opacity", "scale_reg", "ssim_weight",
+                     "densify_every", "prune_opacity", "seed"),
 )
 def train_splats(
     points: jax.Array,     # [G, 3] world
@@ -241,9 +276,13 @@ def train_splats(
     lr_colors: float = 2.5e-2,
     lr_opacity: float = 5e-2,
     scale_reg: float = 0.01,
+    ssim_weight: float = 0.2,
+    densify_every: int = 0,
+    prune_opacity: float = 0.02,
+    seed: int = 0,
 ) -> TrainResult:
     """Appearance-grade 3DGS training: optimize every splat attribute
-    against the rendered-vs-observed photometric loss (L1), through the
+    against the rendered-vs-observed photometric loss through the
     differentiable tile rasterizer (ops/rasterize.py).
 
     ``refine_splats`` above is the geometric pass (projective depth
@@ -252,7 +291,19 @@ def train_splats(
     inner scan over views with rematerialised renders (the [tiles, K, px]
     alpha tensors are recomputed in the backward instead of stored per
     view), one jit.  A soft scale regulariser keeps footprints inside the
-    binner's ``fan`` truncation window."""
+    binner's ``fan`` truncation window.
+
+    Loss = (1 − ssim_weight)·L1 + ssim_weight·(1 − SSIM)/2, the standard
+    3DGS mix (ssim_weight=0 recovers pure L1).
+
+    ``densify_every > 0`` enables FIXED-BUDGET densification: CUDA 3DGS
+    grows/shrinks the splat array (prune + clone/split, dynamic shapes);
+    here the budget G is constant and pruning/cloning is an in-place
+    RESAMPLE — every ``densify_every`` steps, splats whose opacity fell
+    below ``prune_opacity`` are overwritten with jittered, shrunk clones
+    of the highest-position-gradient splats (the under-reconstructed
+    regions densification exists to fix), and their Adam moments reset.
+    Same mechanism, XLA-friendly shapes."""
     from da3slam_tpu.ops.rasterize import rasterize
 
     if images.dtype == jnp.uint8:
@@ -287,7 +338,10 @@ def train_splats(
             jax.nn.sigmoid(params["logit_op"]),
             k, e, img_hw, tile=tile, max_per_tile=max_per_tile, fan=fan,
         )
-        return jnp.mean(jnp.abs(rgb - img))
+        l1 = jnp.mean(jnp.abs(rgb - img))
+        if ssim_weight == 0.0:
+            return l1
+        return (1.0 - ssim_weight) * l1 + ssim_weight * 0.5 * (1.0 - ssim(rgb, img))
 
     def loss_fn(params):
         def body(acc, view):
@@ -313,16 +367,71 @@ def train_splats(
         {k: k for k in params0},
     )
     opt0 = tx.init(params0)
+    G = points.shape[0]
 
-    def step(carry, _):
-        params, opt = carry
+    def resample(args):
+        """Fixed-budget densify (docstring): overwrite pruned slots with
+        shrunk, jittered clones of the top-gradient live splats, and zero
+        the resampled slots' Adam moments (stale curvature is wrong for
+        the new splat)."""
+        params, opt, grad_ema, key = args
+        dead = jax.nn.sigmoid(params["logit_op"]) < prune_opacity   # [G]
+        score = jnp.where(dead, -jnp.inf, grad_ema)
+        donors = jnp.argsort(-score)                       # [G] best-first
+        # i-th dead slot clones the i-th best donor
+        dead_rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        src = donors[jnp.clip(dead_rank, 0, G - 1)]        # [G]
+        jit_dir = jax.random.normal(key, (G, 3))
+        sigma = jnp.exp(params["log_scales"][src])         # donor σ (axis-aligned
+        # jitter — cheaper than rotating into the donor frame, same intent)
+
+        def mix(dst, donor_val):
+            d = dead.reshape((G,) + (1,) * (dst.ndim - 1))
+            return jnp.where(d, donor_val, dst)
+
+        new_params = {
+            # clone lands one donor-σ away at 1/1.6 the donor's scale (the
+            # 3DGS split ratio) with a resurrected opacity of ≥ 0.1
+            "points": mix(params["points"], params["points"][src] + jit_dir * sigma),
+            "log_scales": mix(params["log_scales"],
+                              params["log_scales"][src] - jnp.log(1.6)),
+            "quats": mix(params["quats"], params["quats"][src]),
+            "colors": mix(params["colors"], params["colors"][src]),
+            "logit_op": mix(params["logit_op"],
+                            jnp.maximum(params["logit_op"][src],
+                                        jnp.log(0.1 / 0.9))),
+        }
+
+        def zero_dead_moments(x):
+            # multi_transform state leaves mirror param shapes (adam mu/nu
+            # per group) plus scalar counts; only the [G, ...] ones are
+            # per-splat moments
+            if isinstance(x, jax.Array) and x.ndim >= 1 and x.shape[0] == G:
+                return mix(x, jnp.zeros_like(x))
+            return x
+
+        new_opt = jax.tree_util.tree_map(zero_dead_moments, opt)
+        return new_params, new_opt, jnp.where(dead, 0.0, grad_ema)
+
+    def step(carry, i):
+        params, opt, grad_ema, key = carry
         (_, photo), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt = tx.update(grads, opt, params)
         updates = {**updates, "points": updates["points"] * scene_scale}
         params = optax.apply_updates(params, updates)
-        return (params, opt), photo
+        grad_ema = 0.9 * grad_ema + 0.1 * jnp.linalg.norm(grads["points"], axis=-1)
+        if densify_every > 0:
+            key, sub = jax.random.split(key)
+            do = (i % densify_every) == (densify_every - 1)
+            params, opt, grad_ema = jax.lax.cond(
+                do, resample, lambda a: (a[0], a[1], a[2]),
+                (params, opt, grad_ema, sub),
+            )
+        return (params, opt, grad_ema, key), photo
 
-    (params, _), losses = jax.lax.scan(step, (params0, opt0), None, length=iters)
+    carry0 = (params0, opt0, jnp.zeros((G,), jnp.float32),
+              jax.random.PRNGKey(seed))
+    (params, _, _, _), losses = jax.lax.scan(step, carry0, jnp.arange(iters))
     return TrainResult(
         points=params["points"],
         scales=jnp.exp(params["log_scales"]),

@@ -51,6 +51,7 @@ class TestMainSlam:
 
 
 class TestMainAlign:
+    @pytest.mark.slow  # heavy: see --durations trim, round 3
     def test_chunks_align_and_ply(self, image_dir, tmp_path):
         from da3slam_tpu.cli.main_align import main
 

@@ -99,6 +99,7 @@ class TestPPTrain:
         })
         return cfg, mesh, init_fn, step_fn, batch
 
+    @pytest.mark.slow  # heavy: see --durations trim, round 3
     def test_loss_decreases(self):
         _, _, init_fn, step_fn, batch = self._setup()
         state = init_fn(seed=0)
@@ -109,6 +110,7 @@ class TestPPTrain:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
 
+    @pytest.mark.slow  # heavy: see --durations trim, round 3
     def test_grads_match_sequential(self):
         """Same initial weights: pp grads (stage-stacked, pp-sharded) must
         equal the sequential encoder's grads up to f32 reduction order."""

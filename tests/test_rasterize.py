@@ -218,3 +218,38 @@ class TestTrainSplats:
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(res.quats), axis=-1), 1.0, atol=1e-5
         )
+
+    def test_ssim_loss_mix(self):
+        from da3slam_tpu.ops.splats import ssim
+
+        rng = np.random.default_rng(8)
+        a = jnp.asarray(rng.uniform(0, 1, (32, 40, 3)), jnp.float32)
+        assert float(ssim(a, a)) == pytest.approx(1.0, abs=1e-5)
+        noisy = jnp.clip(a + jnp.asarray(rng.normal(0, 0.2, a.shape), jnp.float32), 0, 1)
+        assert float(ssim(a, noisy)) < 0.9
+        # differentiable
+        g = jax.grad(lambda x: ssim(x, a))(noisy)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_densify_resamples_dead_splats(self):
+        from da3slam_tpu.ops.splats import train_splats
+
+        rng = np.random.default_rng(9)
+        means, scales, quats, colors, opacity, K, E = make_scene(rng, G=30)
+        # kill a third of the splats: sub-threshold opacity
+        opacity = np.array(opacity)  # writable copy
+        opacity[:10] = 1e-3
+        opacity = jnp.asarray(opacity)
+        img, _, _ = rasterize(means, scales, quats, colors, opacity, K, E, HW)
+        res = train_splats(
+            means, scales, quats, colors, opacity, img[None], K[None], E[None],
+            HW, iters=8, max_per_tile=64, fan=9, densify_every=4,
+            ssim_weight=0.0,
+        )
+        assert np.isfinite(np.asarray(res.points)).all()
+        # the dead slots were resampled: opacity resurrected above the
+        # prune threshold and positions moved to donor neighbourhoods
+        op = np.asarray(res.opacity)[:10]
+        assert (op > 0.02).all(), op
+        moved = np.linalg.norm(np.asarray(res.points[:10] - means[:10]), axis=-1)
+        assert moved.max() > 1e-3

@@ -129,6 +129,7 @@ class TestPoseGraph:
         np.testing.assert_allclose(np.asarray(cg.t), np.asarray(dense.t), atol=2e-3)
         np.testing.assert_allclose(np.asarray(cg.s), np.asarray(dense.s), rtol=2e-3)
 
+    @pytest.mark.slow  # heavy: see --durations trim, round 3
     def test_cg_scales_to_long_sequences(self):
         """A 150-node graph (auto → CG: >700 free params, where the dense
         [7K,7K] solve would be the bottleneck) converges: noisy odometry +
@@ -151,6 +152,7 @@ class TestPoseGraph:
 
 
 class TestAdversarialLoop:
+    @pytest.mark.slow  # heavy: see --durations trim, round 3
     def test_false_loop_edge_bounded_by_huber(self):
         """One grossly wrong loop edge (visual alias: the measurement says
         'same place' when the chunks are far apart) must NOT corrupt the

@@ -116,6 +116,7 @@ class TestTorchImport:
         assert "pos_embed" in report.matched
         assert p2["encoder"]["pos_embed"].shape == p1["encoder"]["pos_embed"].shape
 
+    @pytest.mark.slow  # heavy: see --durations trim, round 3
     def test_torch_bin_file_loading(self, tmp_path):
         import torch
 
