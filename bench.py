@@ -98,7 +98,7 @@ def bench_pipeline(model, frames_dev, hw, segment_windows=None, n_reps=3):
     return frames_dev.shape[0] / ((time.perf_counter() - t0) / n_reps)
 
 
-def bench_forward(preset: str, frames_dev, hw, n_reps=2) -> float:
+def bench_forward(preset: str, frames_dev, hw, n_reps=4) -> float:
     """Plain 16-frame chunk forward FPS for a model tier."""
     import jax
     import jax.numpy as jnp
@@ -125,11 +125,13 @@ def bench_forward(preset: str, frames_dev, hw, n_reps=2) -> float:
         return forward_fn(params, imgs, model.cfg, dtype=jnp.bfloat16)
 
     out = step(model.params, imgs)
-    _force(out["depth"][-1])
+    _force(out["depth"][-1, -1, -8:])  # tiny slice: the full [504,504] map
+    # is ~1 MB = ~25 ms on the ~40 MB/s tunnel — measurement overhead, not
+    # model time (the slice still depends on the whole output buffer)
     t0 = time.perf_counter()
     for _ in range(n_reps):
         out = step(model.params, imgs)
-        _force(out["depth"][-1])
+        _force(out["depth"][-1, -1, -8:])
     return 16 * n_reps / (time.perf_counter() - t0)
 
 
@@ -199,11 +201,11 @@ def bench_single_frame_latency(model, frames_dev, hw, n_reps=10) -> float:
         return forward_fn(params, imgs, model.cfg, dtype=jnp.bfloat16)
 
     out = step(model.params, imgs)
-    _force(out["depth"][-1])
+    _force(out["depth"][-1, -1, -8:])
     t0 = time.perf_counter()
     for _ in range(n_reps):
         out = step(model.params, imgs)
-    _force(out["depth"][-1])
+    _force(out["depth"][-1, -1, -8:])
     return (time.perf_counter() - t0) / n_reps * 1e3
 
 
@@ -219,11 +221,11 @@ def bench_preprocess_fps(frames_dev, hw, n_reps=20) -> float:
     chunk = frames_dev[:16]
     run = jax.jit(lambda f: preprocess_batch(f, out_hw=hw))
     out = run(chunk)
-    _force(out[-1])
+    _force(out[-1, -1, -8:])  # tiny slice (see bench_forward comment)
     t0 = time.perf_counter()
     for _ in range(n_reps):
         out = run(chunk)
-    _force(out[-1])
+    _force(out[-1, -1, -8:])
     return 16 * n_reps / (time.perf_counter() - t0)
 
 

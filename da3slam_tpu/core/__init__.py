@@ -20,6 +20,7 @@ from da3slam_tpu.core.transforms import (  # noqa: F401
     sim3_transform_w2c,
     quat_to_rotmat,
     rotmat_to_quat,
+    slerp_rotations,
     orthonormalize_rotation,
 )
 from da3slam_tpu.core.geometry import (  # noqa: F401

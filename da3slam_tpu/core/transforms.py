@@ -319,3 +319,20 @@ def rotmat_to_quat(R: jax.Array) -> jax.Array:
     q = jnp.take_along_axis(q, idx[..., None, None], axis=-1)[..., 0]
     # canonical sign: w >= 0
     return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+
+
+def slerp_rotations(Ra: jax.Array, Rb: jax.Array, t: float | jax.Array) -> jax.Array:
+    """Spherical interpolation between rotation matrices ``[..., 3, 3]``
+    (shortest arc, via quaternions; t=0 → Ra, t=1 → Rb)."""
+    qa = rotmat_to_quat(jnp.asarray(Ra))
+    qb = rotmat_to_quat(jnp.asarray(Rb))
+    dot = jnp.sum(qa * qb, axis=-1, keepdims=True)
+    qb = jnp.where(dot < 0, -qb, qb)  # shortest arc
+    dot = jnp.abs(dot).clip(max=1.0)
+    theta = jnp.arccos(dot)
+    sin_t = jnp.sin(theta)
+    # fall back to lerp when nearly parallel (sin underflow)
+    wa = jnp.where(sin_t > 1e-6, jnp.sin((1 - t) * theta) / sin_t, 1 - t)
+    wb = jnp.where(sin_t > 1e-6, jnp.sin(t * theta) / sin_t, t)
+    q = wa * qa + wb * qb
+    return quat_to_rotmat(q)

@@ -173,6 +173,40 @@ def export_3dgs_ply(
         f.write(np.ascontiguousarray(data, "<f4").tobytes())
 
 
+def read_3dgs_ply(path: str | Path) -> dict:
+    """Read a 3DGS PLY (ours, or any INRIA-layout file — extra properties
+    such as the SH rest coefficients are ignored by name).
+
+    Returns dict(points [N,3], colors [N,3] float in [0,1], scales [N,3],
+    opacity [N], rotations [N,4] unit (w,x,y,z)) — activations applied
+    (exp / sigmoid / normalize), i.e. ready for ops/rasterize.rasterize.
+    """
+    blob = Path(path).read_bytes()
+    end = blob.index(b"end_header\n") + len(b"end_header\n")
+    head = blob[:end].decode("ascii").splitlines()
+    fmt = next(l.split()[1] for l in head if l.startswith("format"))
+    if fmt != "binary_little_endian":
+        raise ValueError(f"{path}: unsupported 3DGS PLY format {fmt!r}")
+    n = int(next(l.split()[2] for l in head if l.startswith("element vertex")))
+    names = [l.split()[2] for l in head if l.startswith("property")]
+    data = np.frombuffer(blob[end:], "<f4", count=n * len(names)).reshape(
+        n, len(names))
+    col = {name: i for i, name in enumerate(names)}
+
+    def take(*props):
+        return np.stack([data[:, col[p]] for p in props], axis=-1)
+
+    points = take("x", "y", "z")
+    f_dc = take("f_dc_0", "f_dc_1", "f_dc_2")
+    colors = np.clip(0.5 + _SH_C0 * f_dc, 0.0, 1.0)
+    scales = np.exp(take("scale_0", "scale_1", "scale_2"))
+    opacity = 1.0 / (1.0 + np.exp(-data[:, col["opacity"]]))
+    q = take("rot_0", "rot_1", "rot_2", "rot_3")
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    return {"points": points, "colors": colors, "scales": scales,
+            "opacity": opacity, "rotations": q}
+
+
 def _splat_frames(
     pts: np.ndarray, max_ratio: float = 8.0
 ) -> tuple[np.ndarray, np.ndarray]:

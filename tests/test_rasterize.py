@@ -253,3 +253,63 @@ class TestTrainSplats:
         assert (op > 0.02).all(), op
         moved = np.linalg.norm(np.asarray(res.points[:10] - means[:10]), axis=-1)
         assert moved.max() > 1e-3
+
+
+class TestRenderCLI:
+    def test_ply_roundtrip_and_render(self, tmp_path):
+        """export_3dgs_ply → read_3dgs_ply → cli/render.py along an
+        interpolated trajectory: activations survive the roundtrip and the
+        rendered PNGs show the scene."""
+        from da3slam_tpu.inout.export3d import export_3dgs_ply, read_3dgs_ply
+
+        rng = np.random.default_rng(10)
+        means, scales, quats, colors, opacity, K, E = make_scene(rng, G=30)
+        ply = tmp_path / "scene.ply"
+        export_3dgs_ply(ply, np.asarray(means), np.asarray(colors),
+                        np.asarray(scales), np.asarray(opacity),
+                        rotations=np.asarray(quats))
+        gs = read_3dgs_ply(ply)
+        np.testing.assert_allclose(gs["points"], np.asarray(means), atol=1e-5)
+        np.testing.assert_allclose(gs["scales"], np.asarray(scales), rtol=1e-4)
+        np.testing.assert_allclose(gs["opacity"], np.asarray(opacity), atol=1e-4)
+        np.testing.assert_allclose(gs["colors"], np.asarray(colors), atol=1e-2)
+        # quats stored sign-canonicalised; compare up to sign
+        q0, q1 = gs["rotations"], np.asarray(quats)
+        flip = np.sign(np.sum(q0 * q1, axis=-1, keepdims=True))
+        np.testing.assert_allclose(q0 * flip, q1, atol=1e-4)
+
+        # two c2w poses: identity and a small x-shift
+        poses = np.stack([np.eye(4), np.eye(4)])
+        poses[1, 0, 3] = 0.1
+        pose_file = tmp_path / "camera_poses.txt"
+        with open(pose_file, "w") as f:
+            for T in poses:
+                f.write(" ".join(f"{v:.8f}" for v in T.reshape(-1)) + "\n")
+        intr = tmp_path / "intrinsic.txt"
+        intr.write_text(f"{K[0, 0]} {K[1, 1]} {K[0, 2]} {K[1, 2]}\n")
+
+        from da3slam_tpu.cli.render import main
+
+        out = tmp_path / "frames"
+        main([
+            "--splats", str(ply), "--poses", str(pose_file),
+            "--intrinsics", str(intr), "--output_dir", str(out),
+            "--height", str(HW[0]), "--width", str(HW[1]),
+            "--interp", "1", "--max_per_tile", "64",
+        ])
+        from PIL import Image
+
+        files = sorted(out.glob("*.png"))
+        assert len(files) == 3  # 2 poses + 1 interpolated
+        img0 = np.asarray(Image.open(files[0]))
+        assert img0.shape == (*HW, 3)
+        assert img0.max() > 30  # splats actually rendered
+
+        # frame 0 must match a direct rasterize of the same scene
+        ref, _, _ = rasterize(
+            jnp.asarray(gs["points"]), jnp.asarray(gs["scales"]),
+            jnp.asarray(gs["rotations"]), jnp.asarray(gs["colors"]),
+            jnp.asarray(gs["opacity"]), K, E, HW, max_per_tile=64,
+        )
+        ref8 = np.asarray(jnp.clip(ref, 0, 1) * 255).astype(np.uint8)
+        assert np.mean(np.abs(ref8.astype(int) - img0.astype(int))) < 2.0

@@ -167,3 +167,33 @@ class TestRotations:
         qs = jax.jit(rotmat_to_quat)(Rs)
         back = quat_to_rotmat(qs)
         np.testing.assert_allclose(np.asarray(back), np.asarray(Rs), atol=1e-4)
+
+
+class TestSlerpRotations:
+    def test_endpoints_and_midpoint(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from da3slam_tpu.core.transforms import slerp_rotations
+
+        # 90-deg z rotation: midpoint must be the 45-deg rotation
+        c, s = np.cos(np.pi / 2), np.sin(np.pi / 2)
+        Ra = np.eye(3)
+        Rb = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        np.testing.assert_allclose(
+            np.asarray(slerp_rotations(Ra, Rb, 0.0)), Ra, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(slerp_rotations(Ra, Rb, 1.0)), Rb, atol=1e-6)
+        mid = np.asarray(slerp_rotations(Ra, Rb, 0.5))
+        c4, s4 = np.cos(np.pi / 4), np.sin(np.pi / 4)
+        np.testing.assert_allclose(
+            mid, [[c4, -s4, 0], [s4, c4, 0], [0, 0, 1]], atol=1e-6)
+
+    def test_identical_rotations_stable(self):
+        import numpy as np
+
+        from da3slam_tpu.core.transforms import slerp_rotations
+
+        R = np.eye(3)
+        out = np.asarray(slerp_rotations(R, R, 0.3))
+        np.testing.assert_allclose(out, R, atol=1e-6)
