@@ -27,9 +27,16 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="ATE/RPE + depth evaluation")
-    p.add_argument("--est", help="estimated camera_poses.txt")
-    p.add_argument("--gt", help="ground-truth camera_poses.txt")
-    p.add_argument("--gt_seq", help="C3VD-layout sequence dir (gt poses + depth)")
+    p.add_argument("--est", help="estimated trajectory file")
+    p.add_argument("--gt", help="ground-truth trajectory file")
+    p.add_argument(
+        "--traj_format", default="auto",
+        choices=["auto", "reference", "kitti", "tum"],
+        help="trajectory file format for --est/--gt (auto: detect by "
+        "column count — 16=reference camera_poses.txt, 12=KITTI, 8=TUM)",
+    )
+    p.add_argument("--gt_seq", help="C3VD- or KITTI-layout sequence dir "
+                   "(gt poses + depth)")
     p.add_argument("--align", default="sim3", choices=["sim3", "se3", "none"])
     p.add_argument("--rpe_delta", type=int, default=1)
     p.add_argument("--depth_est", help=".npy stack or dir of per-frame .npy")
@@ -77,23 +84,27 @@ def main(argv=None) -> None:
     gt_traj = None
     gt_depth_src = args.depth_gt
     if args.gt_seq:
-        from da3slam_tpu.inout.datasets import load_c3vd_sequence
+        from da3slam_tpu.inout.datasets import load_c3vd_sequence, load_kitti_sequence
 
-        seq = load_c3vd_sequence(args.gt_seq)
+        seq_path = Path(args.gt_seq)
+        if (seq_path / "image_2").is_dir() or (seq_path / "calib.txt").exists():
+            seq = load_kitti_sequence(seq_path)
+        else:
+            seq = load_c3vd_sequence(seq_path)
         if seq.poses_c2w is not None:
             gt_traj = seq.poses_c2w
         if gt_depth_src is None and seq.depth_paths is not None:
             gt_depth_src = args.gt_seq
 
     if args.est:
-        from da3slam_tpu.inout.trajectory import load_camera_poses
+        from da3slam_tpu.inout.trajectory import load_trajectory
         from da3slam_tpu.slam.evaluate import evaluate_trajectory
 
-        est = load_camera_poses(args.est)
+        est = load_trajectory(args.est, fmt=args.traj_format)
         if gt_traj is None:
             if not args.gt:
                 raise SystemExit("--est needs --gt or --gt_seq with pose.txt")
-            gt_traj = load_camera_poses(args.gt)
+            gt_traj = load_trajectory(args.gt, fmt=args.traj_format)
         res = evaluate_trajectory(
             est, gt_traj, align=args.align, rpe_delta=args.rpe_delta
         )

@@ -17,6 +17,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default="streaming_out")
     p.add_argument("--keep_temp", action="store_true",
                    help="keep the _tmp_results_* spill directories")
+    p.add_argument("--traj_formats", default=None,
+                   help="comma-separated interop trajectory exports beside "
+                   "camera_poses.txt: tum,kitti")
     return p
 
 
@@ -29,6 +32,10 @@ def main(argv=None) -> None:
     config = load_config(args.config) if args.config else {"Weights": {"DA3": "small"}}
     if args.keep_temp:
         config.setdefault("Model", {})["delete_temp_files"] = False
+    if args.traj_formats:
+        config.setdefault("Model", {})["traj_formats"] = [
+            f.strip() for f in args.traj_formats.split(",") if f.strip()
+        ]
 
     streaming = DA3Streaming(args.image_dir, args.output_dir, config)
     streaming.run()

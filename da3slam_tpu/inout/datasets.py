@@ -35,6 +35,7 @@ class SequenceData:
     image_paths: list[Path]
     depth_paths: list[Path] | None
     poses_c2w: np.ndarray | None  # [N, 4, 4] float64, metres
+    intrinsics: np.ndarray | None = None  # [3, 3] when the dataset ships one
 
     def __len__(self) -> int:
         return len(self.image_paths)
@@ -127,6 +128,63 @@ def load_c3vd_sequence(
                 f"{seq_dir}: {len(images)} frames but {len(poses)} poses"
             )
     return SequenceData(images, depths or None, poses)
+
+
+def load_kitti_sequence(
+    seq_dir: str | Path,
+    poses_file: str | Path | None = None,
+    camera: str = "image_2",
+) -> SequenceData:
+    """Load a KITTI-odometry-layout sequence.
+
+    The reference's long-sequence streaming path was developed on KITTI 00
+    and 05 (its temp-disk accounting quotes them, da3_streaming.py:829-830)
+    but ships no loader; this provides one.  Layout handled:
+
+        <seq_dir>/image_2/000000.png ...   (or image_0/1/3 via ``camera``)
+        <seq_dir>/calib.txt                P0..P3 projection rows (optional)
+        poses file: 12 floats per row (3x4 c2w, row-major) — either passed
+        explicitly (the dataset keeps them in ../poses/NN.txt) or found as
+        <seq_dir>/poses.txt
+
+    KITTI ground-truth poses are cam0-to-world; for trajectory ATE/RPE
+    scoring against a monocular estimate (Sim(3)-aligned) the cam0/cam2
+    offset is a constant rigid shift absorbed by the alignment.
+    """
+    seq_dir = Path(seq_dir)
+    img_dir = seq_dir / camera
+    if not img_dir.is_dir():
+        img_dir = seq_dir  # flat directory of frames
+    images = sorted(
+        p for ext in ("*.png", "*.jpg") for p in img_dir.glob(ext)
+    )
+    if not images:
+        raise FileNotFoundError(f"no frames found under {img_dir}")
+
+    poses = None
+    pose_path = Path(poses_file) if poses_file else seq_dir / "poses.txt"
+    if pose_path.exists():
+        from da3slam_tpu.inout.trajectory import load_trajectory_kitti
+
+        poses = load_trajectory_kitti(pose_path)
+        if len(poses) != len(images):
+            raise ValueError(
+                f"{pose_path}: {len(poses)} poses but {len(images)} frames"
+            )
+
+    K = None
+    calib = seq_dir / "calib.txt"
+    if calib.exists():
+        want = f"P{camera[-1]}:" if camera[-1].isdigit() else "P2:"
+        for line in calib.read_text().splitlines():
+            if line.startswith(want):
+                P = np.asarray(
+                    [float(v) for v in line.split(":", 1)[1].split()],
+                    np.float64,
+                ).reshape(3, 4)
+                K = P[:, :3].copy()
+                break
+    return SequenceData(images, None, poses, intrinsics=K)
 
 
 def read_c3vd_depth(path: str | Path, scale: float = C3VD_DEPTH_SCALE_M) -> np.ndarray:

@@ -1,11 +1,16 @@
-"""Trajectory / intrinsics export in the reference's file formats.
+"""Trajectory / intrinsics I/O.
 
-``camera_poses.txt``: one row per frame, 16 floats = flattened 4x4 c2w
-(reference utils/da3_streaming.py:777-783).
-``intrinsic.txt``: one row per frame, ``fx fy cx cy``
-(da3_streaming.py:786-795).
-``camera_poses.ply``: camera centers as colored points
-(da3_streaming.py:797-817).
+Reference formats (utils/da3_streaming.py:777-817):
+  ``camera_poses.txt``: one row per frame, 16 floats = flattened 4x4 c2w.
+  ``intrinsic.txt``: one row per frame, ``fx fy cx cy``.
+  ``camera_poses.ply``: camera centers as colored points.
+
+Interop formats (the reference's streaming path targets KITTI odometry
+sequences — da3_streaming.py:829-830 — and standard evaluation tooling
+like ``evo`` consumes TUM):
+  KITTI: 12 floats per row = the top 3x4 of the c2w matrix, row-major.
+  TUM:   ``timestamp tx ty tz qx qy qz qw`` per row (c2w).
+``load_trajectory`` auto-detects the three by column count (16/12/8).
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ def save_camera_poses(
     c2w_poses: np.ndarray,
     intrinsics: np.ndarray,
     chunk_indices: np.ndarray | None = None,
+    extra_formats: tuple[str, ...] = (),
 ) -> None:
     """Write camera_poses.txt / intrinsic.txt / camera_poses.ply.
 
@@ -39,9 +45,20 @@ def save_camera_poses(
       chunk_indices: optional ``[N]`` int — colors each camera center by its
                      chunk in the PLY (the reference's per-chunk coloring,
                      da3_streaming.py:797-817)
+      extra_formats: any of "tum" / "kitti" — additionally writes
+                     ``camera_poses_tum.txt`` / ``camera_poses_kitti.txt``
+                     for standard evaluation tooling
     """
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
+
+    for fmt in extra_formats:
+        if fmt == "tum":
+            save_trajectory_tum(out / "camera_poses_tum.txt", c2w_poses)
+        elif fmt == "kitti":
+            save_trajectory_kitti(out / "camera_poses_kitti.txt", c2w_poses)
+        else:
+            raise ValueError(f"unknown extra trajectory format {fmt!r}")
 
     with open(out / "camera_poses.txt", "w") as f:
         for pose in c2w_poses:
@@ -65,3 +82,109 @@ def load_camera_poses(path: str | Path) -> np.ndarray:
     if rows.ndim == 1:
         rows = rows[None]
     return rows.reshape(-1, 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# Interop formats: KITTI odometry + TUM
+# ---------------------------------------------------------------------------
+
+def save_trajectory_kitti(path: str | Path, c2w_poses: np.ndarray) -> None:
+    """KITTI odometry poses file: 12 floats per row (top 3x4, row-major)."""
+    P = np.asarray(c2w_poses, np.float64)[:, :3, :].reshape(-1, 12)
+    with open(path, "w") as f:
+        for row in P:
+            f.write(" ".join(f"{x:.9g}" for x in row) + "\n")
+
+
+def load_trajectory_kitti(path: str | Path) -> np.ndarray:
+    """KITTI odometry poses file → ``[N, 4, 4]`` c2w."""
+    rows = np.loadtxt(path)
+    if rows.ndim == 1:
+        rows = rows[None]
+    out = np.tile(np.eye(4), (rows.shape[0], 1, 1))
+    out[:, :3, :] = rows.reshape(-1, 3, 4)
+    return out
+
+
+def save_trajectory_tum(
+    path: str | Path,
+    c2w_poses: np.ndarray,
+    timestamps: np.ndarray | None = None,
+) -> None:
+    """TUM trajectory: ``timestamp tx ty tz qx qy qz qw`` per row (c2w).
+
+    ``timestamps`` defaults to the frame index; quaternions come from the
+    branch-free Shepperd conversion (core/transforms.rotmat_to_quat, which
+    stores (w, x, y, z) — reordered to TUM's (x, y, z, w) here).
+    """
+    import jax
+
+    from da3slam_tpu.core.transforms import rotmat_to_quat
+
+    P = np.asarray(c2w_poses, np.float64)
+    if timestamps is None:
+        timestamps = np.arange(len(P), dtype=np.float64)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        q_wxyz = np.asarray(rotmat_to_quat(P[:, :3, :3]))
+    t = P[:, :3, 3]
+    with open(path, "w") as f:
+        f.write("# timestamp tx ty tz qx qy qz qw\n")
+        for ts, tr, q in zip(timestamps, t, q_wxyz):
+            f.write(
+                f"{ts:.6f} {tr[0]:.9g} {tr[1]:.9g} {tr[2]:.9g} "
+                f"{q[1]:.9g} {q[2]:.9g} {q[3]:.9g} {q[0]:.9g}\n"
+            )
+
+
+def load_trajectory_tum(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """TUM trajectory → ``(timestamps [N], c2w [N, 4, 4])``."""
+    import jax
+
+    from da3slam_tpu.core.transforms import quat_to_rotmat
+
+    rows = np.loadtxt(path, comments="#")
+    if rows.ndim == 1:
+        rows = rows[None]
+    if rows.shape[1] != 8:
+        raise ValueError(
+            f"{path}: TUM rows have 8 columns (t tx ty tz qx qy qz qw), "
+            f"got {rows.shape[1]}"
+        )
+    ts = rows[:, 0]
+    q_wxyz = rows[:, [7, 4, 5, 6]]  # reorder (x,y,z,w) → (w,x,y,z)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        R = np.asarray(quat_to_rotmat(q_wxyz))
+    out = np.tile(np.eye(4), (rows.shape[0], 1, 1))
+    out[:, :3, :3] = R
+    out[:, :3, 3] = rows[:, 1:4]
+    return ts, out
+
+
+def load_trajectory(path: str | Path, fmt: str = "auto") -> np.ndarray:
+    """Load a trajectory as ``[N, 4, 4]`` c2w from any supported format.
+
+    ``fmt``: "reference" (16-float rows), "kitti" (12), "tum" (8), or
+    "auto" — detected from the column count of the first data row.
+    """
+    if fmt == "auto":
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    n = len(line.replace(",", " ").split())
+                    break
+            else:
+                raise ValueError(f"{path}: no data rows")
+        fmt = {16: "reference", 12: "kitti", 8: "tum"}.get(n)
+        if fmt is None:
+            raise ValueError(
+                f"{path}: unrecognized trajectory format ({n} columns; "
+                "expected 16=reference, 12=KITTI, 8=TUM)"
+            )
+    if fmt == "reference":
+        return load_camera_poses(path)
+    if fmt == "kitti":
+        return load_trajectory_kitti(path)
+    if fmt == "tum":
+        return load_trajectory_tum(path)[1]
+    raise ValueError(f"unknown trajectory format {fmt!r}")

@@ -64,6 +64,9 @@ class DA3Streaming:
         # export the raw + accumulated Sim(3) chains for offline debugging
         # (reference Model.save_debug_info)
         self.save_debug_info = mcfg.get("save_debug_info", False)
+        # interop trajectory exports beside camera_poses.txt: any of
+        # "tum" / "kitti" (inout/trajectory.py)
+        self.traj_formats = tuple(mcfg.get("traj_formats", ()) or ())
         pcfg = config.get("Pointcloud_Save", mcfg.get("Pointcloud_Save", {})) or {}
         self.conf_threshold_coef = pcfg.get("conf_threshold_coef", 1.0)
         self.sample_ratio = pcfg.get("sample_ratio", 0.3)
@@ -435,7 +438,8 @@ class DA3Streaming:
             )
 
         save_camera_poses(self.output_dir, np.stack(all_poses),
-                          np.stack(all_intr), chunk_indices=chunk_of_frame)
+                          np.stack(all_intr), chunk_indices=chunk_of_frame,
+                          extra_formats=self.traj_formats)
 
     # -- public API --------------------------------------------------------
     def run(self) -> None:

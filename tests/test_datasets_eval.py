@@ -116,6 +116,137 @@ class TestC3VDLoader:
             load_c3vd_sequence(seq_dir)
 
 
+def _random_c2w(rng, n):
+    """Random c2w poses with proper rotations (Rodrigues from axis-angle)."""
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    for i in range(n):
+        # rotation from a random axis-angle via Rodrigues
+        ax = rng.normal(size=3)
+        ax /= np.linalg.norm(ax)
+        th = rng.uniform(0, 1.0)
+        K = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
+        poses[i, :3, :3] = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+        poses[i, :3, 3] = rng.normal(size=3)
+    return poses
+
+
+class TestTrajectoryFormats:
+    def test_kitti_roundtrip(self, tmp_path):
+        from da3slam_tpu.inout.trajectory import (
+            load_trajectory, load_trajectory_kitti, save_trajectory_kitti,
+        )
+
+        poses = _random_c2w(np.random.default_rng(0), 5)
+        save_trajectory_kitti(tmp_path / "poses.txt", poses)
+        back = load_trajectory_kitti(tmp_path / "poses.txt")
+        np.testing.assert_allclose(back, poses, atol=1e-7)
+        # 12 columns → auto-detected as KITTI
+        np.testing.assert_allclose(
+            load_trajectory(tmp_path / "poses.txt"), poses, atol=1e-7
+        )
+
+    def test_tum_roundtrip(self, tmp_path):
+        from da3slam_tpu.inout.trajectory import (
+            load_trajectory, load_trajectory_tum, save_trajectory_tum,
+        )
+
+        poses = _random_c2w(np.random.default_rng(1), 6)
+        ts = np.arange(6) * 0.1 + 100.0
+        save_trajectory_tum(tmp_path / "tum.txt", poses, timestamps=ts)
+        ts_back, back = load_trajectory_tum(tmp_path / "tum.txt")
+        np.testing.assert_allclose(ts_back, ts, atol=1e-6)
+        # quaternion round-trip: rotations to ~1e-6, translations exact-ish
+        np.testing.assert_allclose(back, poses, atol=1e-5)
+        np.testing.assert_allclose(
+            load_trajectory(tmp_path / "tum.txt"), poses, atol=1e-5
+        )
+
+    def test_reference_auto_detect(self, tmp_path):
+        from da3slam_tpu.inout.trajectory import load_trajectory, save_camera_poses
+
+        poses = _random_c2w(np.random.default_rng(2), 3)
+        K = np.stack([np.eye(3)] * 3)
+        save_camera_poses(tmp_path, poses, K)
+        np.testing.assert_allclose(
+            load_trajectory(tmp_path / "camera_poses.txt"), poses, atol=1e-7
+        )
+
+    def test_extra_formats_export(self, tmp_path):
+        from da3slam_tpu.inout.trajectory import load_trajectory, save_camera_poses
+
+        poses = _random_c2w(np.random.default_rng(3), 4)
+        K = np.stack([np.eye(3)] * 4)
+        save_camera_poses(tmp_path, poses, K, extra_formats=("tum", "kitti"))
+        np.testing.assert_allclose(
+            load_trajectory(tmp_path / "camera_poses_kitti.txt"), poses, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            load_trajectory(tmp_path / "camera_poses_tum.txt"), poses, atol=1e-5
+        )
+
+    def test_unknown_format_raises(self, tmp_path):
+        from da3slam_tpu.inout.trajectory import load_trajectory
+
+        (tmp_path / "bad.txt").write_text("1 2 3\n")
+        with pytest.raises(ValueError, match="unrecognized"):
+            load_trajectory(tmp_path / "bad.txt")
+
+
+class TestKITTILoader:
+    def _make_kitti_dir(self, tmp_path, n=3):
+        from PIL import Image
+
+        seq = tmp_path / "05"
+        (seq / "image_2").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            Image.fromarray(
+                rng.integers(0, 255, (8, 12, 3), dtype=np.uint8)
+            ).save(seq / "image_2" / f"{i:06d}.png")
+        poses = _random_c2w(rng, n)
+        from da3slam_tpu.inout.trajectory import save_trajectory_kitti
+
+        save_trajectory_kitti(seq / "poses.txt", poses)
+        (seq / "calib.txt").write_text(
+            "P0: 700 0 600 0 0 700 180 0 0 0 1 0\n"
+            "P2: 718.856 0 607.1928 45.38225 0 718.856 185.2157 -0.1130887 0 0 1 0.003779761\n"
+        )
+        return seq, poses
+
+    def test_load(self, tmp_path):
+        from da3slam_tpu.inout.datasets import load_kitti_sequence
+
+        seq_dir, poses = self._make_kitti_dir(tmp_path)
+        seq = load_kitti_sequence(seq_dir)
+        assert len(seq) == 3
+        np.testing.assert_allclose(seq.poses_c2w, poses, atol=1e-7)
+        assert seq.intrinsics is not None
+        np.testing.assert_allclose(seq.intrinsics[0, 0], 718.856)
+        np.testing.assert_allclose(seq.intrinsics[0, 2], 607.1928)
+
+    def test_count_mismatch_raises(self, tmp_path):
+        from da3slam_tpu.inout.datasets import load_kitti_sequence
+
+        seq_dir, _ = self._make_kitti_dir(tmp_path)
+        (seq_dir / "image_2" / "000002.png").unlink()
+        with pytest.raises(ValueError, match="poses"):
+            load_kitti_sequence(seq_dir)
+
+    def test_evaluate_cli_kitti_gt_seq(self, tmp_path, capsys):
+        from da3slam_tpu.cli.evaluate import main
+        from da3slam_tpu.inout.trajectory import save_trajectory_tum
+
+        seq_dir, poses = self._make_kitti_dir(tmp_path)
+        # estimate = gt exported as TUM; ATE must be ~0 through both codecs
+        save_trajectory_tum(tmp_path / "est_tum.txt", poses)
+        main([
+            "--est", str(tmp_path / "est_tum.txt"),
+            "--gt_seq", str(seq_dir),
+        ])
+        report = json.loads(capsys.readouterr().out)
+        assert report["trajectory"]["ate_rmse"] < 1e-5
+
+
 class TestEvaluateCLI:
     def test_depth_and_trajectory_vs_c3vd_seq(self, tmp_path, capsys):
         from da3slam_tpu.cli.evaluate import main
