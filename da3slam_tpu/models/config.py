@@ -26,6 +26,10 @@ class ModelConfig:
     # within each view.
     cross_view_interval: int = 2
     layerscale_init: float = 1e-5
+    # feed-forward flavour: "mlp" (fc1/gelu/fc2 — ViT-S/B/L) or "swiglu"
+    # (DINOv2-giant's SwiGLUFFN: w12 → silu(x1)·x2 → w3, hidden =
+    # round8(2/3·mlp_ratio·D) — 4096 at D=1536)
+    mlp_type: str = "mlp"
     # rematerialize each block's activations in the backward pass (training
     # memory ∝ sqrt instead of linear in depth; for the large/giant tiers)
     remat: bool = False
@@ -39,6 +43,16 @@ class ModelConfig:
     @property
     def head_dim(self) -> int:
         return self.embed_dim // self.num_heads
+
+    @property
+    def mlp_hidden(self) -> int:
+        """FFN hidden width.  SwiGLU uses the 2/3 convention (same parameter
+        count as the plain MLP it replaces), rounded up to a multiple of 8
+        — exactly 4096 for DINOv2-giant's D=1536, mlp_ratio=4."""
+        if self.mlp_type == "swiglu":
+            h = int(self.embed_dim * self.mlp_ratio * 2 / 3)
+            return (h + 7) // 8 * 8
+        return int(self.embed_dim * self.mlp_ratio)
 
     def with_overrides(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
@@ -64,7 +78,7 @@ PRESETS: dict[str, ModelConfig] = {
         dpt_layers=(4, 11, 17, 23), dpt_dim=256, dpt_features=(256, 512, 1024, 1024),
     ),
     "giant": ModelConfig(
-        embed_dim=1536, depth=40, num_heads=24,
+        embed_dim=1536, depth=40, num_heads=24, mlp_type="swiglu",
         dpt_layers=(9, 19, 29, 39), dpt_dim=384, dpt_features=(384, 768, 1536, 1536),
     ),
 }

@@ -139,6 +139,32 @@ def import_torch_encoder(
     T = lambda w: np.asarray(w).T  # noqa: E731
     for i, blk in enumerate(enc["blocks"]):
         base = f"blocks.{i}"
+        if "wg" in blk["mlp"]:
+            # DINOv2-giant SwiGLUFFN naming (facebookresearch/dinov2
+            # layers/swiglu_ffn.py): ``mlp.w12`` fuses gate+value as
+            # [2h, D] with the GATE in the first h rows (x1 of
+            # ``x12.chunk(2)`` feeds the silu); we store them split for
+            # clean tensor-parallel sharding (see vit.init_encoder)
+            h = np.shape(blk["mlp"]["wg"])[1]
+            mlp_rows = [
+                (("mlp", "wg"), f"{base}.mlp.w12.weight",
+                 lambda w, h=h: np.asarray(w)[:h].T),
+                (("mlp", "bg"), f"{base}.mlp.w12.bias",
+                 lambda b, h=h: np.asarray(b)[:h]),
+                (("mlp", "wv"), f"{base}.mlp.w12.weight",
+                 lambda w, h=h: np.asarray(w)[h:].T),
+                (("mlp", "bv"), f"{base}.mlp.w12.bias",
+                 lambda b, h=h: np.asarray(b)[h:]),
+                (("mlp", "w3"), f"{base}.mlp.w3.weight", T),
+                (("mlp", "b3"), f"{base}.mlp.w3.bias", None),
+            ]
+        else:
+            mlp_rows = [
+                (("mlp", "w1"), f"{base}.mlp.fc1.weight", T),
+                (("mlp", "b1"), f"{base}.mlp.fc1.bias", None),
+                (("mlp", "w2"), f"{base}.mlp.fc2.weight", T),
+                (("mlp", "b2"), f"{base}.mlp.fc2.bias", None),
+            ]
         for ours, theirs, tr in [
             (("ln1", "scale"), f"{base}.norm1.weight", None),
             (("ln1", "bias"), f"{base}.norm1.bias", None),
@@ -149,10 +175,7 @@ def import_torch_encoder(
             (("ls1",), f"{base}.ls1.gamma", None),
             (("ln2", "scale"), f"{base}.norm2.weight", None),
             (("ln2", "bias"), f"{base}.norm2.bias", None),
-            (("mlp", "w1"), f"{base}.mlp.fc1.weight", T),
-            (("mlp", "b1"), f"{base}.mlp.fc1.bias", None),
-            (("mlp", "w2"), f"{base}.mlp.fc2.weight", T),
-            (("mlp", "b2"), f"{base}.mlp.fc2.bias", None),
+            *mlp_rows,
             (("ls2",), f"{base}.ls2.gamma", None),
         ]:
             if len(ours) == 2:
@@ -374,10 +397,22 @@ def export_torch_style(params: Any) -> dict[str, np.ndarray]:
         sd[f"{b}.ls1.gamma"] = np.asarray(blk["ls1"])
         sd[f"{b}.norm2.weight"] = np.asarray(blk["ln2"]["scale"])
         sd[f"{b}.norm2.bias"] = np.asarray(blk["ln2"]["bias"])
-        sd[f"{b}.mlp.fc1.weight"] = np.asarray(blk["mlp"]["w1"]).T
-        sd[f"{b}.mlp.fc1.bias"] = np.asarray(blk["mlp"]["b1"])
-        sd[f"{b}.mlp.fc2.weight"] = np.asarray(blk["mlp"]["w2"]).T
-        sd[f"{b}.mlp.fc2.bias"] = np.asarray(blk["mlp"]["b2"])
+        if "wg" in blk["mlp"]:  # SwiGLU (giant tier): re-fuse gate|value
+            w12 = np.concatenate(
+                [np.asarray(blk["mlp"]["wg"]).T, np.asarray(blk["mlp"]["wv"]).T]
+            )
+            b12 = np.concatenate(
+                [np.asarray(blk["mlp"]["bg"]), np.asarray(blk["mlp"]["bv"])]
+            )
+            sd[f"{b}.mlp.w12.weight"] = w12
+            sd[f"{b}.mlp.w12.bias"] = b12
+            sd[f"{b}.mlp.w3.weight"] = np.asarray(blk["mlp"]["w3"]).T
+            sd[f"{b}.mlp.w3.bias"] = np.asarray(blk["mlp"]["b3"])
+        else:
+            sd[f"{b}.mlp.fc1.weight"] = np.asarray(blk["mlp"]["w1"]).T
+            sd[f"{b}.mlp.fc1.bias"] = np.asarray(blk["mlp"]["b1"])
+            sd[f"{b}.mlp.fc2.weight"] = np.asarray(blk["mlp"]["w2"]).T
+            sd[f"{b}.mlp.fc2.bias"] = np.asarray(blk["mlp"]["b2"])
         sd[f"{b}.ls2.gamma"] = np.asarray(blk["ls2"])
 
     # heads: our HWIO convs → torch OIHW, our [in,out] linears → [out,in]

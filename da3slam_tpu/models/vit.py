@@ -39,7 +39,7 @@ def init_encoder(key: jax.Array, cfg: ModelConfig, base_grid: int = 37) -> Param
     pos-embed is stored at (37x37 = 518/14, the reference's default
     process_res, SURVEY.md §6)."""
     D = cfg.embed_dim
-    hidden = int(D * cfg.mlp_ratio)
+    hidden = cfg.mlp_hidden
     keys = iter(jax.random.split(key, 6 + cfg.depth))
 
     params: dict[str, Any] = {
@@ -56,6 +56,30 @@ def init_encoder(key: jax.Array, cfg: ModelConfig, base_grid: int = 37) -> Param
     blocks = []
     for _ in range(cfg.depth):
         bk = iter(jax.random.split(next(keys), 4))
+        if cfg.mlp_type == "swiglu":
+            # DINOv2-giant's SwiGLUFFN: silu(x·wg)·(x·wv) → w3.  The released
+            # checkpoints fuse gate+value into one ``mlp.w12`` tensor; we
+            # store them separately so tensor parallelism can column-shard
+            # gate and value IDENTICALLY (a fused [D, 2h] column shard would
+            # place all of the gate on one device and all of the value on
+            # another, forcing an all-to-all before the elementwise product).
+            # models/torch_import.py splits/concats at the boundary.
+            kg, kv = jax.random.split(next(bk))
+            mlp = {
+                "wg": _trunc_normal(kg, (D, hidden)),
+                "bg": jnp.zeros((hidden,)),
+                "wv": _trunc_normal(kv, (D, hidden)),
+                "bv": jnp.zeros((hidden,)),
+                "w3": _trunc_normal(next(bk), (hidden, D)),
+                "b3": jnp.zeros((D,)),
+            }
+        else:
+            mlp = {
+                "w1": _trunc_normal(next(bk), (D, hidden)),
+                "b1": jnp.zeros((hidden,)),
+                "w2": _trunc_normal(next(bk), (hidden, D)),
+                "b2": jnp.zeros((D,)),
+            }
         blocks.append({
             "ln1": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
             "attn": {
@@ -66,12 +90,7 @@ def init_encoder(key: jax.Array, cfg: ModelConfig, base_grid: int = 37) -> Param
             },
             "ls1": jnp.full((D,), cfg.layerscale_init),
             "ln2": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
-            "mlp": {
-                "w1": _trunc_normal(next(bk), (D, hidden)),
-                "b1": jnp.zeros((hidden,)),
-                "w2": _trunc_normal(next(bk), (hidden, D)),
-                "b2": jnp.zeros((D,)),
-            },
+            "mlp": mlp,
             "ls2": jnp.full((D,), cfg.layerscale_init),
         })
     params["blocks"] = blocks
@@ -106,6 +125,11 @@ def _attention(p: Params, x: jax.Array, num_heads: int, impl: str) -> jax.Array:
 
 
 def _mlp(p: Params, x: jax.Array) -> jax.Array:
+    if "wg" in p:  # SwiGLU (param structure is static under jit)
+        g = x @ p["wg"].astype(x.dtype) + p["bg"].astype(x.dtype)
+        v = x @ p["wv"].astype(x.dtype) + p["bv"].astype(x.dtype)
+        h = jax.nn.silu(g) * v
+        return h @ p["w3"].astype(x.dtype) + p["b3"].astype(x.dtype)
     h = x @ p["w1"].astype(x.dtype) + p["b1"].astype(x.dtype)
     h = jax.nn.gelu(h)
     return h @ p["w2"].astype(x.dtype) + p["b2"].astype(x.dtype)

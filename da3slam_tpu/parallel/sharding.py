@@ -22,12 +22,13 @@ def _spec_for(path: tuple[str, ...]) -> P:
         return P(None, "tp")  # [D, 3D] column-parallel
     if "attn/proj_w" in joined:
         return P("tp", None)  # [D, D] row-parallel
-    if "mlp/w1" in joined:
-        return P(None, "tp")  # [D, hidden]
-    if "mlp/b1" in joined:
+    if "mlp/w1" in joined or "mlp/wg" in joined or "mlp/wv" in joined:
+        return P(None, "tp")  # [D, hidden] column-parallel (SwiGLU shards
+        # gate and value identically so silu(g)·v stays device-local)
+    if "mlp/b1" in joined or "mlp/bg" in joined or "mlp/bv" in joined:
         return P("tp")
-    if "mlp/w2" in joined:
-        return P("tp", None)  # [hidden, D]
+    if "mlp/w2" in joined or "mlp/w3" in joined:
+        return P("tp", None)  # [hidden, D] row-parallel
     if "attn/qkv_b" in joined:
         return P("tp")
     return P()  # replicated

@@ -16,3 +16,13 @@ if "--xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is dominated by CPU jit compiles
+# (pose_from_rays, the tiny-model inference paths, rasterizer grads — the
+# top offenders are 20-70 s of XLA compile each).  Caching them across runs
+# cuts repeat suite wall-time several-fold; the first run in a fresh
+# checkout pays full price.  Keyed by jaxlib version internally, so stale
+# entries are misses, never wrong results.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

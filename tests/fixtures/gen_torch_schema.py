@@ -47,12 +47,20 @@ TIERS = {
                   feats=(96, 192, 384, 768), F=128, cam=256, out_ch=8),
     "base": dict(D=768, depth=12, mlp=3072, regs=4,
                  feats=(96, 192, 384, 768), F=256, cam=256, out_ch=8),
+    # DINOv2-giant backbone (the DA3NESTED-GIANT-LARGE tier's encoder):
+    # SwiGLUFFN — per block ``mlp.w12`` [2h, D] (gate rows first) and
+    # ``mlp.w3`` [D, h], h = round8(2/3 * 4 * 1536) = 4096
+    # (facebookresearch/dinov2 layers/swiglu_ffn.py)
+    "giant": dict(D=1536, depth=40, mlp=4096, regs=4, mlp_type="swiglu",
+                  feats=(384, 768, 1536, 1536), F=384, cam=256, out_ch=8),
 }
 PATCH = 14
 PRETRAIN_GRID = 37  # 518 / 14: the DINOv2 pos-embed grid in released ckpts
 
 
-def backbone_keys(D: int, depth: int, mlp: int, regs: int) -> dict[str, list[int]]:
+def backbone_keys(
+    D: int, depth: int, mlp: int, regs: int, mlp_type: str = "mlp"
+) -> dict[str, list[int]]:
     keys: dict[str, list[int]] = {
         "cls_token": [1, 1, D],
         "mask_token": [1, D],
@@ -63,14 +71,25 @@ def backbone_keys(D: int, depth: int, mlp: int, regs: int) -> dict[str, list[int
     }
     for i in range(depth):
         b = f"blocks.{i}"
+        if mlp_type == "swiglu":
+            ffn = {
+                f"{b}.mlp.w12.weight": [2 * mlp, D],
+                f"{b}.mlp.w12.bias": [2 * mlp],
+                f"{b}.mlp.w3.weight": [D, mlp],
+                f"{b}.mlp.w3.bias": [D],
+            }
+        else:
+            ffn = {
+                f"{b}.mlp.fc1.weight": [mlp, D], f"{b}.mlp.fc1.bias": [mlp],
+                f"{b}.mlp.fc2.weight": [D, mlp], f"{b}.mlp.fc2.bias": [D],
+            }
         keys.update({
             f"{b}.norm1.weight": [D], f"{b}.norm1.bias": [D],
             f"{b}.attn.qkv.weight": [3 * D, D], f"{b}.attn.qkv.bias": [3 * D],
             f"{b}.attn.proj.weight": [D, D], f"{b}.attn.proj.bias": [D],
             f"{b}.ls1.gamma": [D],
             f"{b}.norm2.weight": [D], f"{b}.norm2.bias": [D],
-            f"{b}.mlp.fc1.weight": [mlp, D], f"{b}.mlp.fc1.bias": [mlp],
-            f"{b}.mlp.fc2.weight": [D, mlp], f"{b}.mlp.fc2.bias": [D],
+            **ffn,
             f"{b}.ls2.gamma": [D],
         })
     keys["norm.weight"] = [D]
@@ -125,7 +144,8 @@ def manifest(tier: str) -> dict:
                 "camera_head is reconstructed pending a real checkpoint.",
         "tier": tier,
         "keys": {
-            **backbone_keys(t["D"], t["depth"], t["mlp"], t["regs"]),
+            **backbone_keys(t["D"], t["depth"], t["mlp"], t["regs"],
+                            t.get("mlp_type", "mlp")),
             **dpt_keys(t["D"], t["feats"], t["F"], t["out_ch"]),
             **camera_keys(t["D"], t["cam"]),
         },

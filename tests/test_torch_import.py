@@ -228,3 +228,98 @@ class TestPublishedSchemaFixture:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         assert mod.manifest("small") == schema
+
+
+class TestSwiGLUImport:
+    """The giant tier's DINOv2-giant backbone uses SwiGLUFFN (``mlp.w12``
+    fused gate|value + ``mlp.w3``).  The name map is validated at tiny
+    dims (a full giant init is ~1B params); the checked-in giant manifest
+    pins the real shapes and is checked against the preset via eval_shape."""
+
+    SWIGLU_CFG = get_preset("tiny").with_overrides(mlp_type="swiglu")
+
+    def _manifest_sd(self, cfg):
+        import importlib.util
+        from pathlib import Path
+
+        gen_path = Path(__file__).parent / "fixtures" / "gen_torch_schema.py"
+        spec = importlib.util.spec_from_file_location("gen_torch_schema", gen_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        keys = mod.backbone_keys(
+            cfg.embed_dim, cfg.depth, cfg.mlp_hidden,
+            cfg.num_register_tokens, "swiglu",
+        )
+        rng = np.random.default_rng(3)
+        return {k: rng.normal(size=s).astype(np.float32) for k, s in keys.items()}
+
+    def test_mlp_hidden_convention(self):
+        # 2/3 * 4 * 1536 = 4096 exactly (DINOv2-giant)
+        assert get_preset("giant").mlp_hidden == 4096
+        assert get_preset("giant").mlp_type == "swiglu"
+        assert get_preset("da3nested-giant-large-1.1").mlp_type == "swiglu"
+
+    def test_encoder_import_zero_unused_and_split(self):
+        cfg = self.SWIGLU_CFG
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        sd = self._manifest_sd(cfg)
+        p, report = import_torch_encoder(sd, params, cfg)
+        assert report.unused == [], report.unused
+        assert report.missing == [], report.missing
+        h = cfg.mlp_hidden
+        blk = p["encoder"]["blocks"][1]
+        # the fused w12 splits with the GATE in the first h rows
+        np.testing.assert_array_equal(
+            np.asarray(blk["mlp"]["wg"]), sd["blocks.1.mlp.w12.weight"][:h].T
+        )
+        np.testing.assert_array_equal(
+            np.asarray(blk["mlp"]["wv"]), sd["blocks.1.mlp.w12.weight"][h:].T
+        )
+        np.testing.assert_array_equal(
+            np.asarray(blk["mlp"]["bg"]), sd["blocks.1.mlp.w12.bias"][:h]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(blk["mlp"]["w3"]), sd["blocks.1.mlp.w3.weight"].T
+        )
+
+    def test_export_roundtrip_bitwise(self):
+        cfg = self.SWIGLU_CFG
+        p1 = init_params(jax.random.PRNGKey(1), cfg)
+        sd = export_torch_style(p1)
+        assert "blocks.0.mlp.w12.weight" in sd and "blocks.0.mlp.w3.weight" in sd
+        p2, report = import_torch_checkpoint(sd, init_params(jax.random.PRNGKey(5), cfg), cfg)
+        assert report.unused == [], report.unused
+        assert_pytree_equal(p1, p2)
+
+    def test_swiglu_forward_differs_from_mlp(self):
+        """Same seed, same shapes where shared: the FFN flavour must change
+        the computation (guards a silent fall-through to the gelu path)."""
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.normal(size=(2, 28, 28, 3)), jnp.float32)
+        cfg_g = self.SWIGLU_CFG
+        cfg_m = get_preset("tiny")
+        out_g = forward_fn(init_params(jax.random.PRNGKey(0), cfg_g), imgs, cfg_g)
+        out_m = forward_fn(init_params(jax.random.PRNGKey(0), cfg_m), imgs, cfg_m)
+        assert np.abs(np.asarray(out_g["depth"]) - np.asarray(out_m["depth"])).max() > 1e-6
+        assert np.isfinite(np.asarray(out_g["depth"])).all()
+
+    def test_giant_manifest_matches_preset_shapes(self):
+        """The checked-in giant manifest's backbone shapes must agree with
+        what init_params would build for the preset (via eval_shape — a
+        real giant init is too large for a unit test)."""
+        import json
+        from pathlib import Path
+
+        cfg = get_preset("giant")
+        shapes = jax.eval_shape(lambda k: init_params(k, cfg), jax.random.PRNGKey(0))
+        manifest = json.loads(
+            (Path(__file__).parent / "fixtures" / "torch_schema_giant.json").read_text()
+        )["keys"]
+        blk = shapes["encoder"]["blocks"][0]["mlp"]
+        h = cfg.mlp_hidden
+        assert manifest["blocks.0.mlp.w12.weight"] == [2 * h, cfg.embed_dim]
+        assert blk["wg"].shape == (cfg.embed_dim, h)
+        assert blk["w3"].shape == (h, cfg.embed_dim)
+        assert manifest["blocks.0.mlp.w3.weight"] == [cfg.embed_dim, h]
+        assert manifest["blocks.39.ls2.gamma"] == [cfg.embed_dim]
+        assert len(shapes["encoder"]["blocks"]) == 40
