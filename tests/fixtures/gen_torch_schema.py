@@ -47,6 +47,8 @@ TIERS = {
                   feats=(96, 192, 384, 768), F=128, cam=256, out_ch=8),
     "base": dict(D=768, depth=12, mlp=3072, regs=4,
                  feats=(96, 192, 384, 768), F=256, cam=256, out_ch=8),
+    "large": dict(D=1024, depth=24, mlp=4096, regs=4,
+                  feats=(256, 512, 1024, 1024), F=256, cam=256, out_ch=8),
     # DINOv2-giant backbone (the DA3NESTED-GIANT-LARGE tier's encoder):
     # SwiGLUFFN — per block ``mlp.w12`` [2h, D] (gate rows first) and
     # ``mlp.w3`` [D, h], h = round8(2/3 * 4 * 1536) = 4096

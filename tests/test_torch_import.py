@@ -323,3 +323,36 @@ class TestSwiGLUImport:
         assert manifest["blocks.0.mlp.w3.weight"] == [cfg.embed_dim, h]
         assert manifest["blocks.39.ls2.gamma"] == [cfg.embed_dim]
         assert len(shapes["encoder"]["blocks"]) == 40
+
+
+class TestManifestTierCoverage:
+    @pytest.mark.parametrize("tier", ["small", "base", "large", "giant"])
+    def test_manifest_shapes_match_preset(self, tier):
+        """Every released tier (configs/config1.yaml:2-5) has a checked-in
+        published-schema manifest whose backbone/head shapes agree with the
+        preset's pytree (checked via eval_shape — no giant-sized init)."""
+        import json
+        from pathlib import Path
+
+        cfg = get_preset(tier)
+        manifest = json.loads(
+            (Path(__file__).parent / "fixtures" / f"torch_schema_{tier}.json").read_text()
+        )["keys"]
+        shapes = jax.eval_shape(lambda k: init_params(k, cfg), jax.random.PRNGKey(0))
+        # backbone dims
+        assert manifest["patch_embed.proj.weight"] == [cfg.embed_dim, 3, 14, 14]
+        assert manifest[f"blocks.{cfg.depth - 1}.ls2.gamma"] == [cfg.embed_dim]
+        assert len(shapes["encoder"]["blocks"]) == cfg.depth
+        if cfg.mlp_type == "swiglu":
+            assert manifest["blocks.0.mlp.w12.weight"] == [2 * cfg.mlp_hidden, cfg.embed_dim]
+        else:
+            assert manifest["blocks.0.mlp.fc1.weight"] == [cfg.mlp_hidden, cfg.embed_dim]
+        # head dims
+        for k, f in enumerate(cfg.dpt_features):
+            assert manifest[f"depth_head.projects.{k}.weight"] == [f, cfg.embed_dim, 1, 1]
+            assert manifest[f"depth_head.scratch.layer{k + 1}_rn.weight"] == [
+                cfg.dpt_dim, f, 3, 3
+            ]
+        assert shapes["dpt"]["project"][0]["kernel"].shape == (
+            1, 1, cfg.embed_dim, cfg.dpt_features[0]
+        )
