@@ -13,10 +13,23 @@ import jax
 import jax.numpy as jnp
 
 
-# below this sequence length XLA's fused attention wins (dispatch-latency
-# bound); above it the Pallas flash kernel wins by streaming K/V through
-# VMEM (measured on v5e: 1.66x at S≈21k, the 16-frame cross-view shape)
+# above this the long-sequence flash path (streaming K/V blocks through
+# VMEM) is used as-is (measured on v5e: 1.66x over XLA at S≈21k, the
+# 16-frame cross-view shape)
 FLASH_MIN_SEQ = 4096
+# medium sequences (the intra-view S≈1.3k shape) also run the Pallas kernel,
+# but as ONE S-sized block per (batch, head): XLA's fused attention
+# materialises the full [B, H, S, S] f32 score tensor (650 MB at the
+# 16-view intra shape — ~12 ms of the SMALL forward, profiled r3), while
+# the one-block kernel keeps it in VMEM.  Below this floor the pad-to-128
+# waste dominates and XLA wins.
+FLASH_ONEBLOCK_MIN_SEQ = 512
+# one-block scores are [S', S'] f32 in VMEM — cap so 2048^2 * 4 = 16.8 MiB
+FLASH_ONEBLOCK_MAX = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
 
 
 @functools.partial(jax.jit, static_argnames=("impl",))
@@ -38,16 +51,21 @@ def multi_head_attention(
         from da3slam_tpu.parallel.ring_attention import ring_attention
 
         return ring_attention(q, k, v, impl.split(":", 1)[1])
+    S = q.shape[1]
+    # the flash kernels ride the spare MXU lanes (D < 128) for the softmax
+    # denominator; at D >= 128 that trick would double the matmul width,
+    # so wide-head configs stay on XLA's fused path
+    flash_ok = q.shape[-1] < 128 and jax.default_backend() == "tpu"
     use_flash = impl == "pallas" or (
-        impl == "auto"
-        and q.shape[1] >= FLASH_MIN_SEQ
-        # the flash kernels ride the spare MXU lanes (D < 128) for the
-        # softmax denominator; at D >= 128 that trick would double the
-        # matmul width, so wide-head configs stay on XLA's fused path
-        and q.shape[-1] < 128
-        and jax.default_backend() == "tpu"
+        impl == "auto" and flash_ok and S >= FLASH_MIN_SEQ
     )
-    if use_flash:
+    one_block = (
+        impl == "auto"
+        and flash_ok
+        and FLASH_ONEBLOCK_MIN_SEQ <= S < FLASH_MIN_SEQ
+        and _round_up(S, 128) <= FLASH_ONEBLOCK_MAX
+    )
+    if use_flash or one_block:
         from da3slam_tpu.ops.flash_attention import flash_attention
 
         # stable=False: the max-free norm-bound forward (67 → 81 TF/s at
@@ -56,5 +74,8 @@ def multi_head_attention(
         # + learned projections, whose activation norms sit orders of
         # magnitude below the bound-precision cliff the flash_attention
         # docstring describes.
+        if one_block:
+            b = _round_up(S, 128)
+            return flash_attention(q, k, v, block_q=b, block_k=b, stable=False)
         return flash_attention(q, k, v, stable=False)
     return jax.nn.dot_product_attention(q, k, v)

@@ -214,3 +214,26 @@ class TestBoundMode:
         ok = flash_interp(q, k, v, block_q=128, block_k=128, stable=True)
         np.testing.assert_allclose(np.asarray(ok), np.asarray(xla_attention(q, k, v)),
                                    atol=1e-4)
+
+
+class TestOneBlockDispatch:
+    """The intra-view shape (S≈1.3k) routes through the flash kernel as ONE
+    S-sized block per (batch, head) — XLA's fused attention materialises
+    the full [B, H, S, S] f32 score tensor there (~12 ms of the SMALL
+    forward, r3 trace).  Validate the exact one-block program numerically."""
+
+    def test_one_block_matches_xla(self):
+        rng = np.random.default_rng(7)
+        S = 1301  # the 504x504 intra-view token count (36*36 + 5)
+        q, k, v = rand_qkv(rng, 2, S, 2, 64)
+        b = (S + 127) // 128 * 128
+        out = flash_interp(q, k, v, block_q=b, block_k=b, stable=False)
+        ref = xla_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_dispatch_gate_bounds(self):
+        from da3slam_tpu.ops import attention as A
+
+        # the one-block path must stay within its VMEM-safe block cap
+        assert A.FLASH_ONEBLOCK_MIN_SEQ < A.FLASH_ONEBLOCK_MAX < A.FLASH_MIN_SEQ
+        assert A._round_up(1301, 128) <= A.FLASH_ONEBLOCK_MAX
