@@ -33,3 +33,27 @@ class TestGoldenParity:
         )
         np.testing.assert_allclose(pred.extrinsics, golden["extrinsics"], atol=1e-5)
         np.testing.assert_allclose(pred.intrinsics, golden["intrinsics"], atol=1e-4)
+
+
+class TestGoldenParitySwiGLU:
+    """Same guard for the SwiGLU FFN path (the giant tier's flavour),
+    pinned at tiny dims — catches silent drift in the gate/value/w3
+    arithmetic that the plain-MLP golden cannot see."""
+
+    def test_forward_matches_golden(self):
+        import jax
+
+        from da3slam_tpu.models import get_preset
+        from da3slam_tpu.models.da3 import init_params
+
+        g = np.load("tests/golden/tiny_swiglu_seed0.npz")
+        cfg = get_preset("tiny").with_overrides(mlp_type="swiglu")
+        model = DepthAnything3(cfg, init_params(jax.random.PRNGKey(0), cfg))
+        pred = model.inference(image=g["images"], process_res=70)
+        np.testing.assert_allclose(
+            pred.depth[:, ::4, ::4], g["depth"], atol=1e-5, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            pred.conf[:, ::4, ::4], g["conf"], atol=1e-5, rtol=1e-5
+        )
+        np.testing.assert_allclose(pred.extrinsics, g["extrinsics"], atol=1e-5)
