@@ -150,3 +150,72 @@ class TestMain3DGS:
         assert np.isfinite(q).all()
         norms = np.linalg.norm(q, axis=-1)
         np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+class TestMainVideo:
+    """One-shot video → SLAM driver.  This image has no ffmpeg backend, so
+    the decode stage is monkeypatched to synthesize frames; everything
+    downstream (crop → brightness → streaming SLAM → exports) runs real."""
+
+    def _fake_decoder(self):
+        rng = np.random.default_rng(0)
+        base = rng.integers(40, 200, size=(56, 70, 3))
+
+        def fake(video_path, output_dir, stride=1, quality=95):
+            from pathlib import Path
+
+            out = Path(output_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            n = 0
+            for i in range(0, 10, stride):
+                f = np.clip(
+                    np.roll(base, i * 3, axis=1)
+                    + rng.integers(0, 25, (56, 70, 3)),
+                    0, 255,
+                )
+                Image.fromarray(f.astype(np.uint8)).save(out / f"{n:06d}.jpg")
+                n += 1
+            return n
+
+        return fake
+
+    def test_full_chain_streaming(self, tmp_path, monkeypatch):
+        import da3slam_tpu.preprocess.host as host
+        from da3slam_tpu.cli import main_video
+
+        monkeypatch.setattr(host, "video_to_frames", self._fake_decoder())
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(
+            "Weights:\n  DA3: tiny\n"
+            "Model:\n  chunk_size: 5\n  overlap: 2\n  process_res: 56\n"
+        )
+        out = tmp_path / "run"
+        main_video.main([
+            "--video", "fake.mp4", "--output_dir", str(out),
+            "--config", str(cfg), "--stride", "2",
+            "--crop", "0.9", "--brightness",
+            "--traj_formats", "tum",
+        ])
+        assert (out / "frames" / "000000.jpg").exists()
+        assert (out / "cropped").is_dir() and (out / "normalized").is_dir()
+        assert (out / "slam" / "camera_poses.txt").exists()
+        assert (out / "slam" / "camera_poses_tum.txt").exists()
+        assert (out / "slam" / "combined_pcd.ply").exists()
+
+    def test_slam_mode_headless(self, tmp_path, monkeypatch):
+        import da3slam_tpu.preprocess.host as host
+        from da3slam_tpu.cli import main_video
+
+        monkeypatch.setattr(host, "video_to_frames", self._fake_decoder())
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(
+            "Weights:\n  DA3: tiny\n"
+            "Model:\n  chunk_size: 4\n  overlap_size: 1\n  process_res: 56\n"
+            "  keyframe_interval: 1\n  sleep_between_chunk: 0\n"
+        )
+        out = tmp_path / "run"
+        main_video.main([
+            "--video", "fake.mp4", "--output_dir", str(out),
+            "--config", str(cfg), "--mode", "slam", "--headless",
+        ])
+        assert (out / "slam" / "camera_poses.txt").exists()
