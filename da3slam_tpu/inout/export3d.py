@@ -98,10 +98,10 @@ def export_glb(prediction, path: str | Path, stride: int = 2, conf_threshold: fl
         np.asarray(prediction.depth),
         np.asarray(prediction.intrinsics),
         np.asarray(prediction.extrinsics),
-    )
+        stride=stride,
+    ).reshape(-1, 3)
     cols = np.asarray(prediction.processed_images)
     conf = np.asarray(prediction.conf)
-    pts = pts[:, ::stride, ::stride].reshape(-1, 3)
     cols = cols[:, ::stride, ::stride].reshape(-1, 3)
     keep = conf[:, ::stride, ::stride].reshape(-1) >= conf_threshold
     keep &= np.isfinite(pts).all(axis=1)
@@ -210,7 +210,9 @@ def read_3dgs_ply(path: str | Path) -> dict:
 def _splat_frames(
     pts: np.ndarray, max_ratio: float = 8.0
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Surface-aligned splat frames from the world point grid ``[H, W, 3]``.
+    """Surface-aligned splat frames from the world point grid
+    ``[..., H, W, 3]`` (optional leading view axis — gradients never cross
+    views).
 
     Tangents are the pixel-space gradients of the world points, so each
     splat's disk lies in the local surface plane (slanted walls get slanted,
@@ -218,9 +220,9 @@ def _splat_frames(
     surface normal, flattened to a thin pancake.  Anisotropy is capped at
     ``max_ratio`` so depth-discontinuity pixels don't become spears.
 
-    Returns ``(scales [H, W, 3], quats [H, W, 4] wxyz)``.
+    Returns ``(scales [..., H, W, 3], quats [..., H, W, 4] wxyz)``.
     """
-    t_v, t_u = np.gradient(pts, axis=(0, 1))  # [H, W, 3] each
+    t_v, t_u = np.gradient(pts, axis=(-3, -2))  # [..., H, W, 3] each
     len_u = np.linalg.norm(t_u, axis=-1)
     len_v = np.linalg.norm(t_v, axis=-1)
 
@@ -246,45 +248,72 @@ def _splat_frames(
 
 
 def _rotmat_to_quat_np(R: np.ndarray) -> np.ndarray:
-    """Batched rotation matrix → (w,x,y,z) quaternion, branch-free numpy
-    (Shepperd's method via the largest of the four squared components)."""
-    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
-    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
-    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    """Batched rotation matrix → (w,x,y,z) quaternion (Shepperd's method via
+    the largest of the four squared components).
+
+    Each candidate's components are materialised only on the pixels that
+    select it (boolean gathers) — stacking all four candidates into a
+    [..., 4, 4] tensor and take_along_axis'ing cost ~1 s per 0.5M-splat
+    export (profiled r3), ~20x this version."""
+    shape = R.shape[:-2]
+    Rf = R.reshape(-1, 3, 3)
+    m00, m01, m02 = Rf[:, 0, 0], Rf[:, 0, 1], Rf[:, 0, 2]
+    m10, m11, m12 = Rf[:, 1, 0], Rf[:, 1, 1], Rf[:, 1, 2]
+    m20, m21, m22 = Rf[:, 2, 0], Rf[:, 2, 1], Rf[:, 2, 2]
     tr = m00 + m11 + m22
-    qs = np.stack(
-        [
-            np.stack([1 + tr, m21 - m12, m02 - m20, m10 - m01], -1),
-            np.stack([m21 - m12, 1 + m00 - m11 - m22, m01 + m10, m02 + m20], -1),
-            np.stack([m02 - m20, m01 + m10, 1 - m00 + m11 - m22, m12 + m21], -1),
-            np.stack([m10 - m01, m02 + m20, m12 + m21, 1 - m00 - m11 + m22], -1),
-        ],
-        axis=-2,
-    )  # [..., 4 candidates, 4]
-    # candidate k has leading component 2*sqrt(kk-term); pick the largest
     lead = np.stack([1 + tr, 1 + m00 - m11 - m22, 1 - m00 + m11 - m22,
                      1 - m00 - m11 + m22], -1)
     best = np.argmax(lead, axis=-1)
-    q = np.take_along_axis(qs, best[..., None, None], axis=-2)[..., 0, :]
-    return q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+    q = np.empty((Rf.shape[0], 4), R.dtype)
+    rows = [
+        lambda i: (1 + tr[i], m21[i] - m12[i], m02[i] - m20[i], m10[i] - m01[i]),
+        lambda i: (m21[i] - m12[i], 1 + m00[i] - m11[i] - m22[i],
+                   m01[i] + m10[i], m02[i] + m20[i]),
+        lambda i: (m02[i] - m20[i], m01[i] + m10[i],
+                   1 - m00[i] + m11[i] - m22[i], m12[i] + m21[i]),
+        lambda i: (m10[i] - m01[i], m02[i] + m20[i], m12[i] + m21[i],
+                   1 - m00[i] - m11[i] + m22[i]),
+    ]
+    for k, row in enumerate(rows):
+        idx = np.nonzero(best == k)[0]
+        if idx.size:
+            w, x, y, z = row(idx)
+            q[idx, 0] = w
+            q[idx, 1] = x
+            q[idx, 2] = y
+            q[idx, 3] = z
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    return q.reshape(*shape, 4)
 
 
-def _backproject_np(depth: np.ndarray, K: np.ndarray, E: np.ndarray) -> np.ndarray:
+def _backproject_np(
+    depth: np.ndarray, K: np.ndarray, E: np.ndarray, stride: int = 1
+) -> np.ndarray:
     """Host backprojection: ``[N,H,W] depth, [N,3,3] K, [N,3,4] w2c`` →
-    world points ``[N,H,W,3]`` (mirrors core.geometry.backproject_depth)."""
+    world points (mirrors core.geometry.backproject_depth).
+
+    ``stride`` subsamples the pixel grid BEFORE the geometry (the export
+    paths only keep every stride-th point; computing then slicing wasted
+    stride² of the work).  f32 throughout: this is a leaf export path and
+    f32 matches the device math within the tests' 1e-4 (the old f64 pass
+    dominated the 3DGS export's wall time)."""
+    depth = depth[:, ::stride, ::stride]
     N, H, W = depth.shape
-    v, u = np.meshgrid(np.arange(H, dtype=np.float64),
-                       np.arange(W, dtype=np.float64), indexing="ij")
+    v, u = np.meshgrid(np.arange(H, dtype=np.float32) * stride,
+                       np.arange(W, dtype=np.float32) * stride, indexing="ij")
     fx, fy = K[:, 0, 0], K[:, 1, 1]
     cx, cy = K[:, 0, 2], K[:, 1, 2]
-    x = (u[None] - cx[:, None, None]) / fx[:, None, None]
-    y = (v[None] - cy[:, None, None]) / fy[:, None, None]
-    cam = np.stack([x * depth, y * depth, depth.astype(np.float64)], axis=-1)
-    R, t = E[:, :3, :3].astype(np.float64), E[:, :3, 3].astype(np.float64)
+    depth = depth.astype(np.float32, copy=False)
+    x = (u[None] - cx[:, None, None].astype(np.float32)) / fx[:, None, None]
+    y = (v[None] - cy[:, None, None].astype(np.float32)) / fy[:, None, None]
+    cam = np.stack([x * depth, y * depth, depth], axis=-1).astype(np.float32)
+    R = E[:, :3, :3].astype(np.float32)
+    t = E[:, :3, 3].astype(np.float32)
     # c2w: p_w = Rᵀ (p_c - t), as a batched BLAS matmul — np.einsum's
     # c_einsum path is ~50x slower on this broadcast pattern
     flat = (cam.reshape(N, H * W, 3) - t[:, None, :]) @ R
-    return flat.reshape(N, H, W, 3).astype(np.float32)
+    return flat.reshape(N, H, W, 3)
 
 
 def splats_from_prediction(
@@ -339,10 +368,11 @@ def _prediction_to_3dgs_arrays(
     depth = np.asarray(prediction.depth)
     conf = np.asarray(prediction.conf)
     K = np.asarray(prediction.intrinsics)
-    pts = _backproject_np(depth, K, np.asarray(prediction.extrinsics))
+    # stride inside the backprojection: only 1/stride² of the grid is kept
+    pts_g = _backproject_np(depth, K, np.asarray(prediction.extrinsics),
+                            stride=stride)
     cols = np.asarray(prediction.processed_images)
 
-    pts_g = pts[:, ::stride, ::stride]
     pts_s = pts_g.reshape(-1, 3)
     cols_s = cols[:, ::stride, ::stride].reshape(-1, 3)
     conf_s = conf[:, ::stride, ::stride].reshape(-1)
@@ -354,9 +384,9 @@ def _prediction_to_3dgs_arrays(
     op = 1.0 - np.exp(-opacity_scale * np.maximum(c - 1.0 + 0.6, 0.0))
 
     if anisotropic:
-        frames = [_splat_frames(p) for p in pts_g]  # per view (no cross-view grads)
-        scales = np.concatenate([f[0].reshape(-1, 3) for f in frames])[keep]
-        quats = np.concatenate([f[1].reshape(-1, 4) for f in frames])[keep]
+        scales, quats = _splat_frames(pts_g)  # batched over views
+        scales = scales.reshape(-1, 3)[keep]
+        quats = quats.reshape(-1, 4)[keep]
     else:
         fx = K[:, 0, 0][:, None, None]
         radius = stride * depth / fx  # metric footprint of a (strided) pixel
