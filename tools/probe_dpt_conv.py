@@ -76,14 +76,43 @@ def main():
         ) + b2[None, :, None, None]
         return y[:, :, :2, :2]
 
+    @jax.jit
+    def shiftdot(x, k1, b1, k2, b2):
+        # pixels-on-lanes: 3x3 conv = 9 shifted [C_in -> C_out] dots over a
+        # [n, C, H*W] layout; output width = pixels (full MXU lanes), the
+        # narrow C_out rides the sublane dim instead of wasting lanes
+        xc = jnp.transpose(x, (0, 3, 1, 2))  # [n, C1, H, W]
+        xp = jnp.pad(xc, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                xs = jax.lax.slice(
+                    xp, (0, 0, dy, dx), (N, C1, dy + H, dx + W)
+                ).reshape(N, C1, H * W)
+                w = k1[dy, dx]  # [C1, C2]
+                d = jax.lax.dot_general(
+                    w.T, xs, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [C2, n, H*W]
+                acc = d if acc is None else acc + d
+        y = jnp.transpose(acc, (1, 0, 2)) + b1[None, :, None].astype(jnp.float32)
+        y = jax.nn.relu(y).astype(x.dtype)  # [n, C2, HW]
+        o = jax.lax.dot_general(
+            k2[0, 0].T, y, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C3, n, HW]
+        o = jnp.transpose(o, (1, 0, 2)) + b2[None, :, None].astype(jnp.float32)
+        return o.reshape(N, C3, H, W)[:, :, :2, :2].astype(x.dtype)
+
     a = timed("NHWC head2+head_out", nhwc, x, k1, b1, k2, b2)
     b = timed("NCHW head2+head_out", nchw, x, k1, b1, k2, b2)
+    c = timed("shift-dot head2+head_out", shiftdot, x, k1, b1, k2, b2)
     # parity
-    ya = np.asarray(jax.jit(lambda *a: nhwc(*a))(x, k1, b1, k2, b2), np.float32)
-    yb = np.transpose(
-        np.asarray(nchw(x, k1, b1, k2, b2), np.float32), (0, 2, 3, 1)
+    ya = np.asarray(nhwc(x, k1, b1, k2, b2), np.float32)
+    yc = np.transpose(
+        np.asarray(shiftdot(x, k1, b1, k2, b2), np.float32), (0, 2, 3, 1)
     )
-    print("max abs delta:", np.abs(ya - yb).max(), flush=True)
+    print("NHWC-vs-shiftdot max abs delta:", np.abs(ya - yc).max(), flush=True)
 
 
 if __name__ == "__main__":
