@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--gt_seq", help="C3VD- or KITTI-layout sequence dir "
                    "(gt poses + depth)")
+    p.add_argument("--gt_poses", help="external poses file for --gt_seq "
+                   "(KITTI keeps them in ../poses/NN.txt)")
     p.add_argument("--align", default="sim3", choices=["sim3", "se3", "none"])
     p.add_argument("--rpe_delta", type=int, default=1)
     p.add_argument("--depth_est", help=".npy stack or dir of per-frame .npy")
@@ -88,7 +90,10 @@ def main(argv=None) -> None:
 
         seq_path = Path(args.gt_seq)
         if (seq_path / "image_2").is_dir() or (seq_path / "calib.txt").exists():
-            seq = load_kitti_sequence(seq_path)
+            seq = load_kitti_sequence(seq_path, poses_file=args.gt_poses)
+        elif args.gt_poses:
+            raise SystemExit("--gt_poses is only meaningful with a "
+                             "KITTI-layout --gt_seq")
         else:
             seq = load_c3vd_sequence(seq_path)
         if seq.poses_c2w is not None:

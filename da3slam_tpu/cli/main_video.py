@@ -58,11 +58,25 @@ def main(argv=None) -> None:
     image_dir = frames_dir
 
     if args.crop is not None:
+        from da3slam_tpu.preprocess.host import CROP_PRESETS
+
         cropped = out_root / "cropped"
         try:
-            ratio = float(args.crop)
-            crop_images_in_folder(image_dir, cropped, ratio=ratio)
+            ratio = float(args.crop)  # only the parse is inside the try —
+            # wrapping the crop call would mask real crop errors by
+            # re-running with dataset=<numeric string>
         except ValueError:
+            ratio = None
+        if ratio is not None:
+            if not 0.0 < ratio <= 1.0:
+                raise SystemExit(f"--crop ratio must be in (0, 1], got {ratio}")
+            crop_images_in_folder(image_dir, cropped, ratio=ratio)
+        else:
+            if args.crop not in CROP_PRESETS:
+                raise SystemExit(
+                    f"unknown crop preset {args.crop!r}; available: "
+                    f"{', '.join(sorted(CROP_PRESETS))} or a float ratio"
+                )
             crop_images_in_folder(image_dir, cropped, dataset=args.crop)
         image_dir = cropped
 
@@ -72,14 +86,16 @@ def main(argv=None) -> None:
         image_dir = normalized
 
     from da3slam_tpu.inout import load_config
+    from da3slam_tpu.inout.trajectory import validate_extra_formats
 
     config = load_config(args.config) if args.config else {"Weights": {"DA3": "small"}}
+    traj_formats = validate_extra_formats(
+        f.strip() for f in (args.traj_formats or "").split(",") if f.strip()
+    )
 
     if args.mode == "streaming":
-        if args.traj_formats:
-            config.setdefault("Model", {})["traj_formats"] = [
-                f.strip() for f in args.traj_formats.split(",") if f.strip()
-            ]
+        if traj_formats:
+            config.setdefault("Model", {})["traj_formats"] = list(traj_formats)
         from da3slam_tpu.slam.streaming import DA3Streaming
 
         run_dir = out_root / "slam"
@@ -97,7 +113,7 @@ def main(argv=None) -> None:
         solver.run()
         poses, intrs = solver.trajectory()
         run_dir = out_root / "slam"
-        save_camera_poses(run_dir, poses, intrs)
+        save_camera_poses(run_dir, poses, intrs, extra_formats=traj_formats)
         print(f"Trajectory ({len(poses)} frames) exported to {run_dir}")
 
 

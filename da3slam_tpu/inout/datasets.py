@@ -163,6 +163,10 @@ def load_kitti_sequence(
 
     poses = None
     pose_path = Path(poses_file) if poses_file else seq_dir / "poses.txt"
+    if poses_file and not pose_path.exists():
+        # an explicitly requested poses file must not degrade silently to
+        # "no ground truth" — that surfaces later as a misleading error
+        raise FileNotFoundError(f"poses file not found: {pose_path}")
     if pose_path.exists():
         from da3slam_tpu.inout.trajectory import load_trajectory_kitti
 

@@ -49,16 +49,9 @@ def save_camera_poses(
                      ``camera_poses_tum.txt`` / ``camera_poses_kitti.txt``
                      for standard evaluation tooling
     """
+    validate_extra_formats(extra_formats)  # fail before any file is written
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
-
-    for fmt in extra_formats:
-        if fmt == "tum":
-            save_trajectory_tum(out / "camera_poses_tum.txt", c2w_poses)
-        elif fmt == "kitti":
-            save_trajectory_kitti(out / "camera_poses_kitti.txt", c2w_poses)
-        else:
-            raise ValueError(f"unknown extra trajectory format {fmt!r}")
 
     with open(out / "camera_poses.txt", "w") as f:
         for pose in c2w_poses:
@@ -75,10 +68,49 @@ def save_camera_poses(
         colors = np.broadcast_to(CHUNK_COLORS[0], centers.shape).copy()
     write_ply(out / "camera_poses.ply", centers, colors, binary=False)
 
+    # interop extras last: the reference-format exports above must survive
+    # even if an extras writer fails mid-run
+    for fmt in extra_formats:
+        if fmt == "tum":
+            save_trajectory_tum(out / "camera_poses_tum.txt", c2w_poses)
+        elif fmt == "kitti":
+            save_trajectory_kitti(out / "camera_poses_kitti.txt", c2w_poses)
+
+
+EXTRA_TRAJ_FORMATS = ("tum", "kitti")
+
+
+def validate_extra_formats(formats) -> tuple[str, ...]:
+    """Validate interop-export format names; call at CLI-parse/config time
+    so a typo fails BEFORE a multi-hour run, not at export."""
+    formats = tuple(formats)
+    for fmt in formats:
+        if fmt not in EXTRA_TRAJ_FORMATS:
+            raise ValueError(
+                f"unknown trajectory export format {fmt!r}; "
+                f"supported: {', '.join(EXTRA_TRAJ_FORMATS)}"
+            )
+    return formats
+
+
+def _loadtxt(path: str | Path, **kw) -> np.ndarray:
+    """np.loadtxt that tolerates comma-delimited rows (some public pose
+    files use them; the auto-detector accepts them too)."""
+    with open(path) as f:
+        first = ""
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                first = line
+                break
+    if "," in first:
+        kw.setdefault("delimiter", ",")
+    return np.loadtxt(path, **kw)
+
 
 def load_camera_poses(path: str | Path) -> np.ndarray:
     """Read a camera_poses.txt back into ``[N, 4, 4]``."""
-    rows = np.loadtxt(path)
+    rows = _loadtxt(path)
     if rows.ndim == 1:
         rows = rows[None]
     return rows.reshape(-1, 4, 4)
@@ -98,12 +130,30 @@ def save_trajectory_kitti(path: str | Path, c2w_poses: np.ndarray) -> None:
 
 def load_trajectory_kitti(path: str | Path) -> np.ndarray:
     """KITTI odometry poses file → ``[N, 4, 4]`` c2w."""
-    rows = np.loadtxt(path)
+    rows = _loadtxt(path)
     if rows.ndim == 1:
         rows = rows[None]
     out = np.tile(np.eye(4), (rows.shape[0], 1, 1))
     out[:, :3, :] = rows.reshape(-1, 3, 4)
     return out
+
+
+def _quat_to_rotmat_np(q: np.ndarray) -> np.ndarray:
+    """(w,x,y,z) quaternions ``[..., 4]`` → ``[..., 3, 3]``, pure numpy
+    (float64-preserving — the jax helpers would downcast to f32)."""
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = np.empty(q.shape[:-1] + (3, 3), q.dtype)
+    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    R[..., 0, 1] = 2 * (x * y - w * z)
+    R[..., 0, 2] = 2 * (x * z + w * y)
+    R[..., 1, 0] = 2 * (x * y + w * z)
+    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    R[..., 1, 2] = 2 * (y * z - w * x)
+    R[..., 2, 0] = 2 * (x * z - w * y)
+    R[..., 2, 1] = 2 * (y * z + w * x)
+    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
 
 
 def save_trajectory_tum(
@@ -114,18 +164,15 @@ def save_trajectory_tum(
     """TUM trajectory: ``timestamp tx ty tz qx qy qz qw`` per row (c2w).
 
     ``timestamps`` defaults to the frame index; quaternions come from the
-    branch-free Shepperd conversion (core/transforms.rotmat_to_quat, which
-    stores (w, x, y, z) — reordered to TUM's (x, y, z, w) here).
+    pure-numpy Shepperd conversion (export3d._rotmat_to_quat_np — f64 in,
+    f64 out; stores (w, x, y, z), reordered to TUM's (x, y, z, w) here).
     """
-    import jax
-
-    from da3slam_tpu.core.transforms import rotmat_to_quat
+    from da3slam_tpu.inout.export3d import _rotmat_to_quat_np
 
     P = np.asarray(c2w_poses, np.float64)
     if timestamps is None:
         timestamps = np.arange(len(P), dtype=np.float64)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        q_wxyz = np.asarray(rotmat_to_quat(P[:, :3, :3]))
+    q_wxyz = _rotmat_to_quat_np(P[:, :3, :3])
     t = P[:, :3, 3]
     with open(path, "w") as f:
         f.write("# timestamp tx ty tz qx qy qz qw\n")
@@ -138,11 +185,7 @@ def save_trajectory_tum(
 
 def load_trajectory_tum(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     """TUM trajectory → ``(timestamps [N], c2w [N, 4, 4])``."""
-    import jax
-
-    from da3slam_tpu.core.transforms import quat_to_rotmat
-
-    rows = np.loadtxt(path, comments="#")
+    rows = _loadtxt(path, comments="#")
     if rows.ndim == 1:
         rows = rows[None]
     if rows.shape[1] != 8:
@@ -152,8 +195,7 @@ def load_trajectory_tum(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
         )
     ts = rows[:, 0]
     q_wxyz = rows[:, [7, 4, 5, 6]]  # reorder (x,y,z,w) → (w,x,y,z)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        R = np.asarray(quat_to_rotmat(q_wxyz))
+    R = _quat_to_rotmat_np(q_wxyz)
     out = np.tile(np.eye(4), (rows.shape[0], 1, 1))
     out[:, :3, :3] = R
     out[:, :3, 3] = rows[:, 1:4]

@@ -153,6 +153,16 @@ class DepthAnything3:
                 cfg = get_preset(str(ckpt_dir))
         else:
             cfg = get_preset(str(ckpt_dir))
+        # the FFN flavour is visible in the state dict itself; trust the
+        # tensors over a config.json that omits mlp_type (a mismatch would
+        # otherwise leave every block's FFN at random init)
+        # scan backbone blocks only (camera_head.mlp.fc1 would false-match)
+        sd_swiglu = any(".mlp.w12." in k and "blocks." in k for k in sd)
+        sd_mlp = any(".mlp.fc1." in k and "blocks." in k for k in sd)
+        if sd_swiglu and not sd_mlp and cfg.mlp_type != "swiglu":
+            cfg = cfg.with_overrides(mlp_type="swiglu")
+        elif sd_mlp and not sd_swiglu and cfg.mlp_type != "mlp":
+            cfg = cfg.with_overrides(mlp_type="mlp")
         params = init_params(jax.random.PRNGKey(seed), cfg)
         params, report = import_torch_checkpoint(sd, params, cfg)
         print(f"torch checkpoint import: {report}")

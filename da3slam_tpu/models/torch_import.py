@@ -139,20 +139,51 @@ def import_torch_encoder(
     T = lambda w: np.asarray(w).T  # noqa: E731
     for i, blk in enumerate(enc["blocks"]):
         base = f"blocks.{i}"
-        if "wg" in blk["mlp"]:
+        ours_swiglu = "wg" in blk["mlp"]
+        theirs_swiglu = any(
+            c in sd for c in _candidates(f"{base}.mlp.w12.weight")
+        )
+        if ours_swiglu != theirs_swiglu and (
+            theirs_swiglu
+            or any(c in sd for c in _candidates(f"{base}.mlp.fc1.weight"))
+        ):
+            # flavour mismatch must be loud: silently leaving every FFN at
+            # random init (80 missing + 80 unused notes) produces garbage
+            # depth with no error.  Common cause: a checkpoint config.json
+            # that omits mlp_type for a SwiGLU (giant-tier) checkpoint.
+            raise ValueError(
+                f"FFN flavour mismatch at {base}: config says "
+                f"{'swiglu' if ours_swiglu else 'mlp'} but the checkpoint "
+                f"has {'mlp.w12 (SwiGLU)' if theirs_swiglu else 'mlp.fc1 (plain MLP)'} "
+                "— set mlp_type accordingly in the model config"
+            )
+        if ours_swiglu:
             # DINOv2-giant SwiGLUFFN naming (facebookresearch/dinov2
             # layers/swiglu_ffn.py): ``mlp.w12`` fuses gate+value as
             # [2h, D] with the GATE in the first h rows (x1 of
             # ``x12.chunk(2)`` feeds the silu); we store them split for
             # clean tensor-parallel sharding (see vit.init_encoder)
             h = np.shape(blk["mlp"]["wg"])[1]
+
+            def check_fused(w, h=h, base=base):
+                w = np.asarray(w)
+                if w.shape[0] != 2 * h:
+                    # slicing [:h] of a differently-sized fused tensor would
+                    # pass assign's shape check with WRONG rows — refuse
+                    raise ValueError(
+                        f"{base}.mlp.w12 has fused width {w.shape[0]} but "
+                        f"the config's SwiGLU hidden is {h} (expected "
+                        f"{2 * h}); fix mlp_ratio/embed_dim in the config"
+                    )
+                return w
+
             mlp_rows = [
                 (("mlp", "wg"), f"{base}.mlp.w12.weight",
-                 lambda w, h=h: np.asarray(w)[:h].T),
+                 lambda w: check_fused(w)[:h].T),
                 (("mlp", "bg"), f"{base}.mlp.w12.bias",
                  lambda b, h=h: np.asarray(b)[:h]),
                 (("mlp", "wv"), f"{base}.mlp.w12.weight",
-                 lambda w, h=h: np.asarray(w)[h:].T),
+                 lambda w: check_fused(w)[h:].T),
                 (("mlp", "bv"), f"{base}.mlp.w12.bias",
                  lambda b, h=h: np.asarray(b)[h:]),
                 (("mlp", "w3"), f"{base}.mlp.w3.weight", T),

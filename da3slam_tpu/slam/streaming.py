@@ -65,8 +65,13 @@ class DA3Streaming:
         # (reference Model.save_debug_info)
         self.save_debug_info = mcfg.get("save_debug_info", False)
         # interop trajectory exports beside camera_poses.txt: any of
-        # "tum" / "kitti" (inout/trajectory.py)
-        self.traj_formats = tuple(mcfg.get("traj_formats", ()) or ())
+        # "tum" / "kitti" (inout/trajectory.py) — validated HERE so a typo
+        # fails at construction, not after the multi-hour run
+        from da3slam_tpu.inout.trajectory import validate_extra_formats
+
+        self.traj_formats = validate_extra_formats(
+            mcfg.get("traj_formats", ()) or ()
+        )
         pcfg = config.get("Pointcloud_Save", mcfg.get("Pointcloud_Save", {})) or {}
         self.conf_threshold_coef = pcfg.get("conf_threshold_coef", 1.0)
         self.sample_ratio = pcfg.get("sample_ratio", 0.3)

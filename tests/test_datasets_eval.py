@@ -274,3 +274,69 @@ class TestEvaluateCLI:
         assert report["depth"]["abs_rel"] < 0.1
         assert report["depth"]["delta1"] > 0.9
         np.testing.assert_allclose(report["depth"]["scale"], 0.5, rtol=0.1)
+
+
+class TestReviewRegressions:
+    """Round-3 review findings (robustness of the interop formats)."""
+
+    def test_bad_traj_format_fails_at_construction(self, tmp_path):
+        from da3slam_tpu.slam.streaming import DA3Streaming
+
+        with pytest.raises(ValueError, match="kitty"):
+            DA3Streaming(str(tmp_path), str(tmp_path / "o"), {
+                "Weights": {"DA3": "tiny"},
+                "Model": {"traj_formats": ["kitty"]},
+            })
+
+    def test_reference_exports_written_before_extras(self, tmp_path, monkeypatch):
+        """Even if an extras writer dies, camera_poses.txt must exist."""
+        import da3slam_tpu.inout.trajectory as T
+
+        poses = np.tile(np.eye(4), (3, 1, 1))
+        K = np.tile(np.eye(3), (3, 1, 1))
+        monkeypatch.setattr(
+            T, "save_trajectory_tum",
+            lambda *a, **k: (_ for _ in ()).throw(OSError("disk full")),
+        )
+        with pytest.raises(OSError):
+            T.save_camera_poses(tmp_path, poses, K, extra_formats=("tum",))
+        assert (tmp_path / "camera_poses.txt").exists()
+        assert (tmp_path / "camera_poses.ply").exists()
+
+    def test_comma_delimited_kitti_loads(self, tmp_path):
+        from da3slam_tpu.inout.trajectory import load_trajectory
+
+        poses = _random_c2w(np.random.default_rng(5), 2)
+        rows = poses[:, :3, :].reshape(2, 12)
+        (tmp_path / "p.txt").write_text(
+            "\n".join(",".join(f"{v:.9g}" for v in r) for r in rows) + "\n"
+        )
+        np.testing.assert_allclose(
+            load_trajectory(tmp_path / "p.txt"), poses, atol=1e-6
+        )
+
+    def test_missing_explicit_poses_file_raises(self, tmp_path):
+        from PIL import Image
+
+        from da3slam_tpu.inout.datasets import load_kitti_sequence
+
+        seq = tmp_path / "00"
+        (seq / "image_2").mkdir(parents=True)
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            seq / "image_2" / "000000.png"
+        )
+        with pytest.raises(FileNotFoundError, match="poses"):
+            load_kitti_sequence(seq, poses_file=tmp_path / "nope.txt")
+
+    def test_tum_roundtrip_is_float64(self, tmp_path):
+        """The numpy quat path must not downcast the f64 poses (the old
+        jax path silently went through f32)."""
+        from da3slam_tpu.inout.trajectory import (
+            load_trajectory_tum, save_trajectory_tum,
+        )
+
+        poses = _random_c2w(np.random.default_rng(6), 4)
+        save_trajectory_tum(tmp_path / "t.txt", poses)
+        _, back = load_trajectory_tum(tmp_path / "t.txt")
+        # 9 significant digits in the file; f32 would cap at ~1e-7 rotation
+        np.testing.assert_allclose(back[:, :3, :3], poses[:, :3, :3], atol=5e-8)

@@ -356,3 +356,59 @@ class TestManifestTierCoverage:
         assert shapes["dpt"]["project"][0]["kernel"].shape == (
             1, 1, cfg.embed_dim, cfg.dpt_features[0]
         )
+
+
+class TestSwiGLUImportErrors:
+    def test_flavour_mismatch_raises(self):
+        """A SwiGLU checkpoint against an mlp-config import must fail loudly
+        (silently leaving every FFN at init produces garbage depth)."""
+        cfg_s = get_preset("tiny").with_overrides(mlp_type="swiglu")
+        sd = export_torch_style(init_params(jax.random.PRNGKey(0), cfg_s))
+        cfg_m = get_preset("tiny")
+        with pytest.raises(ValueError, match="flavour mismatch"):
+            import_torch_encoder(sd, init_params(jax.random.PRNGKey(1), cfg_m), cfg_m)
+
+    def test_wrong_fused_width_raises(self):
+        """A w12 whose fused width disagrees with the config's hidden must
+        refuse — slicing [:h] of a larger tensor would silently import the
+        wrong rows as the gate."""
+        cfg = get_preset("tiny").with_overrides(mlp_type="swiglu")
+        sd = export_torch_style(init_params(jax.random.PRNGKey(0), cfg))
+        h = cfg.mlp_hidden
+        D = cfg.embed_dim
+        rng = np.random.default_rng(0)
+        for k in list(sd):
+            if k.endswith("mlp.w12.weight"):
+                sd[k] = rng.normal(size=(2 * (h + 8), D)).astype(np.float32)
+            if k.endswith("mlp.w12.bias"):
+                sd[k] = rng.normal(size=(2 * (h + 8),)).astype(np.float32)
+        with pytest.raises(ValueError, match="fused width"):
+            import_torch_encoder(sd, init_params(jax.random.PRNGKey(1), cfg), cfg)
+
+    def test_checkpoint_dir_infers_swiglu_from_tensors(self, tmp_path):
+        """A checkpoint dir whose config.json omits mlp_type but whose
+        tensors are SwiGLU must import as SwiGLU (da3.py trusts the
+        tensors over the config)."""
+        import json
+
+        import torch
+
+        cfg = get_preset("tiny").with_overrides(mlp_type="swiglu")
+        p1 = init_params(jax.random.PRNGKey(3), cfg)
+        sd = export_torch_style(p1)
+        torch.save(
+            {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()},
+            tmp_path / "pytorch_model.bin",
+        )
+        # config.json with the dims but WITHOUT mlp_type
+        (tmp_path / "config.json").write_text(json.dumps({
+            "embed_dim": cfg.embed_dim, "depth": cfg.depth,
+            "num_heads": cfg.num_heads,
+            "num_register_tokens": cfg.num_register_tokens,
+            "dpt_layers": list(cfg.dpt_layers), "dpt_dim": cfg.dpt_dim,
+            "dpt_features": list(cfg.dpt_features),
+            "camera_dim": cfg.camera_dim,
+        }))
+        model = DepthAnything3.from_pretrained(str(tmp_path))
+        assert model.cfg.mlp_type == "swiglu"
+        assert_pytree_equal(model.params["encoder"], p1["encoder"])
