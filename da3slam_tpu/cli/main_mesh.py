@@ -1,0 +1,101 @@
+"""TSDF-fused triangle-mesh export CLI.
+
+The reference exports fused geometry only as concatenated point clouds
+(da3_streaming.py:664-690); this adds the volumetric alternative: run the
+model over the sequence, stitch poses with the SLAM aligner, TSDF-fuse all
+depth frames on the device (ops/tsdf.py — one lax.scan, O(voxels) memory),
+and extract a watertight-where-observed triangle mesh with marching
+tetrahedra (inout/mesh.py).
+
+    python -m da3slam_tpu.cli.main_mesh --image_dir frames/ \
+        --output scene_mesh.ply [--resolution 192] [--conf_floor 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Export a sequence as a TSDF mesh")
+    p.add_argument("--image_dir", required=True)
+    p.add_argument("--config", default=None)
+    p.add_argument("--model", default="small")
+    p.add_argument("--output", default="scene_mesh.ply")
+    p.add_argument("--chunk_size", type=int, default=8)
+    p.add_argument("--process_res", type=int, default=504)
+    p.add_argument("--resolution", type=int, default=192,
+                   help="voxels along the longest scene axis")
+    p.add_argument("--conf_floor", type=float, default=1.0,
+                   help="confidence at/below this contributes zero weight")
+    p.add_argument("--max_weight", type=float, default=64.0)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from da3slam_tpu.inout import load_config, load_image_paths
+    from da3slam_tpu.inout.mesh import tsdf_to_mesh, write_mesh_ply
+    from da3slam_tpu.models import DepthAnything3
+    from da3slam_tpu.ops.tsdf import fuse_frames
+    from da3slam_tpu.slam import align_chunk_single_overlap, make_image_chunks
+
+    model_path = args.model
+    if args.config:
+        model_path = load_config(args.config).get("Weights", {}).get("DA3", args.model)
+
+    model = DepthAnything3.from_pretrained(model_path)
+    paths = load_image_paths(args.image_dir)
+    if not paths:
+        raise SystemExit(f"no images in {args.image_dir}")
+
+    chunks = make_image_chunks(paths, args.chunk_size, 1)
+    depths, confs, Ks, Es = [], [], [], []
+    prev = None
+    prev_overlap = None
+    for k, chunk in enumerate(chunks):
+        cur = model.inference(image=chunk, process_res=args.process_res)
+        if k == 0:
+            ext_global = cur.extrinsics
+        else:
+            out = align_chunk_single_overlap(
+                prev_depth=jnp.asarray(prev.depth[-1]),
+                prev_conf=jnp.asarray(prev.conf[-1]),
+                prev_K=jnp.asarray(prev.intrinsics[-1]),
+                cur_depth=jnp.asarray(cur.depth),
+                cur_conf=jnp.asarray(cur.conf),
+                cur_K=jnp.asarray(cur.intrinsics),
+                cur_extrinsics=jnp.asarray(cur.extrinsics),
+                prev_overlap_global=jnp.asarray(prev_overlap, jnp.float32),
+            )
+            ext_global = np.asarray(out.extrinsics_global, np.float32)
+            cur.depth = np.asarray(out.depth_scaled)
+        depths.append(cur.depth)
+        confs.append(cur.conf)
+        Ks.append(cur.intrinsics)
+        Es.append(ext_global)
+        prev, prev_overlap = cur, ext_global[-1]
+        print(f"chunk {k + 1}/{len(chunks)} done")
+
+    grid = fuse_frames(
+        np.concatenate(depths), np.concatenate(confs),
+        np.concatenate(Ks), np.concatenate(Es).astype(np.float32),
+        resolution=args.resolution,
+        conf_floor=args.conf_floor,
+        max_weight=args.max_weight,
+    )
+    verts, faces = tsdf_to_mesh(grid)
+    if len(verts) == 0:
+        raise SystemExit("TSDF produced an empty mesh — check --conf_floor "
+                         "(no pixel cleared it?) and the depth scale")
+    write_mesh_ply(args.output, verts, faces)
+    print(f"mesh: {len(verts)} vertices, {len(faces)} faces → {args.output}")
+
+
+if __name__ == "__main__":
+    main()
