@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--conf_floor", type=float, default=1.0,
                    help="confidence at/below this contributes zero weight")
     p.add_argument("--max_weight", type=float, default=64.0)
+    p.add_argument("--color", action="store_true",
+                   help="accumulate per-voxel colors and write per-vertex "
+                   "colors into the mesh PLY")
     return p
 
 
@@ -55,7 +58,7 @@ def main(argv=None) -> None:
         raise SystemExit(f"no images in {args.image_dir}")
 
     chunks = make_image_chunks(paths, args.chunk_size, 1)
-    depths, confs, Ks, Es = [], [], [], []
+    depths, confs, Ks, Es, imgs = [], [], [], [], []
     prev = None
     prev_overlap = None
     for k, chunk in enumerate(chunks):
@@ -79,6 +82,8 @@ def main(argv=None) -> None:
         confs.append(cur.conf)
         Ks.append(cur.intrinsics)
         Es.append(ext_global)
+        if args.color:
+            imgs.append(cur.processed_images)
         prev, prev_overlap = cur, ext_global[-1]
         print(f"chunk {k + 1}/{len(chunks)} done")
 
@@ -88,12 +93,18 @@ def main(argv=None) -> None:
         resolution=args.resolution,
         conf_floor=args.conf_floor,
         max_weight=args.max_weight,
+        images=np.concatenate(imgs) if args.color else None,
     )
     verts, faces = tsdf_to_mesh(grid)
     if len(verts) == 0:
         raise SystemExit("TSDF produced an empty mesh — check --conf_floor "
                          "(no pixel cleared it?) and the depth scale")
-    write_mesh_ply(args.output, verts, faces)
+    colors = None
+    if args.color:
+        from da3slam_tpu.ops.tsdf import vertex_colors
+
+        colors = vertex_colors(grid, verts)
+    write_mesh_ply(args.output, verts, faces, colors=colors)
     print(f"mesh: {len(verts)} vertices, {len(faces)} faces → {args.output}")
 
 

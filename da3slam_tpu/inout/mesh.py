@@ -211,8 +211,13 @@ def write_mesh_ply(
         fh.write(rec_f.tobytes())
 
 
-def read_mesh_ply(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
-    """Read back a mesh written by :func:`write_mesh_ply`."""
+def read_mesh_ply(
+    path: str | Path, with_colors: bool = False
+) -> tuple[np.ndarray, ...]:
+    """Read back a mesh written by :func:`write_mesh_ply`.
+
+    Returns ``(vertices, faces)`` or, with ``with_colors=True``,
+    ``(vertices, faces, colors-or-None)``."""
     blob = Path(path).read_bytes()
     end = blob.index(b"end_header\n") + len(b"end_header\n")
     head = blob[:end].decode("ascii").splitlines()
@@ -227,4 +232,7 @@ def read_mesh_ply(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     verts = np.frombuffer(body, vdt, count=n)
     fdt = np.dtype([("n", "u1"), ("i", "<i4", 3)])
     faces = np.frombuffer(body[n * vdt.itemsize:], fdt, count=f)
-    return verts["p"].copy(), faces["i"].astype(np.int64)
+    out = (verts["p"].copy(), faces["i"].astype(np.int64))
+    if with_colors:
+        out += (verts["c"].copy() if has_color else None,)
+    return out

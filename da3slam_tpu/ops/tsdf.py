@@ -31,17 +31,28 @@ import jax.numpy as jnp
 class TSDFGrid(NamedTuple):
     """Volumetric state: ``sdf``/``weight`` are ``[X, Y, Z]`` f32; ``origin``
     is the world position of voxel (0,0,0)'s center; ``voxel`` the edge
-    length; ``trunc`` the truncation distance (world units)."""
+    length; ``trunc`` the truncation distance (world units).  ``color``
+    (optional, ``[X, Y, Z, 3]`` f32 in 0..255) accumulates with the same
+    weights when frames are integrated with images."""
 
     sdf: jax.Array
     weight: jax.Array
     origin: jax.Array  # [3]
     voxel: jax.Array  # scalar
     trunc: jax.Array  # scalar
+    # premultiplied color accumulator [X, Y, Z, 4]: (sum w*rgb, sum w).
+    # Color keeps its OWN weight sum — near-surface observations only, so
+    # normalising by the sdf weight (which also counts free-space hits)
+    # would bias early-seen voxels toward black.
+    color: jax.Array | None = None
 
 
 def make_grid(
-    origin, size_xyz: tuple[int, int, int], voxel: float, trunc: float | None = None
+    origin,
+    size_xyz: tuple[int, int, int],
+    voxel: float,
+    trunc: float | None = None,
+    with_color: bool = False,
 ) -> TSDFGrid:
     """Fresh grid: sdf=+1 (free), weight=0.  ``trunc`` defaults to 3 voxels."""
     if trunc is None:
@@ -52,10 +63,13 @@ def make_grid(
         origin=jnp.asarray(origin, jnp.float32),
         voxel=jnp.asarray(voxel, jnp.float32),
         trunc=jnp.asarray(trunc, jnp.float32),
+        color=jnp.zeros((*size_xyz, 4), jnp.float32) if with_color else None,
     )
 
 
-def grid_from_bounds(lo, hi, resolution: int = 192) -> TSDFGrid:
+def grid_from_bounds(
+    lo, hi, resolution: int = 192, with_color: bool = False
+) -> TSDFGrid:
     """Grid covering the axis-aligned box [lo, hi] with ``resolution`` voxels
     along the longest axis (static shapes derived host-side)."""
     import numpy as np
@@ -65,7 +79,7 @@ def grid_from_bounds(lo, hi, resolution: int = 192) -> TSDFGrid:
     extent = np.maximum(hi - lo, 1e-6)
     voxel = float(extent.max() / resolution)
     size = tuple(int(n) for n in np.maximum(np.ceil(extent / voxel), 2).astype(int))
-    return make_grid(lo, size, voxel)
+    return make_grid(lo, size, voxel, with_color=with_color)
 
 
 def _voxel_centers_cam(grid: TSDFGrid, E_w2c: jax.Array) -> jax.Array:
@@ -88,6 +102,7 @@ def integrate(
     K: jax.Array,  # [3, 3]
     E_w2c: jax.Array,  # [3, 4]
     max_weight: float = 64.0,
+    image: jax.Array | None = None,  # [H, W, 3] (needs grid.color)
 ) -> TSDFGrid:
     """Fuse one depth frame into the grid (pure; jit/scan-safe).
 
@@ -127,7 +142,22 @@ def integrate(
     )
     w_new = jnp.minimum(w_new, max_weight)
     shape = grid.sdf.shape
-    return grid._replace(sdf=s_new.reshape(shape), weight=w_new.reshape(shape))
+
+    color = grid.color
+    if color is not None and image is not None:
+        c_pix = jnp.take(
+            image.reshape(-1, 3).astype(jnp.float32), flat, axis=0
+        )  # [V, 3]
+        # color only accumulates NEAR the surface (|sdf| < 1): free-space
+        # voxels would otherwise average in whatever pixel they project to
+        w_col = jnp.where(jnp.abs(sdf_obs) < 1.0, w_obs, 0.0)[:, None]
+        c = color.reshape(-1, 4)
+        c = c.at[:, :3].add(c_pix * w_col)
+        c = c.at[:, 3:].add(w_col)
+        color = c.reshape(*shape, 4)
+    return grid._replace(
+        sdf=s_new.reshape(shape), weight=w_new.reshape(shape), color=color
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_weight",))
@@ -138,16 +168,43 @@ def integrate_frames(
     K: jax.Array,  # [N, 3, 3]
     E_w2c: jax.Array,  # [N, 3, 4]
     max_weight: float = 64.0,
+    images: jax.Array | None = None,  # [N, H, W, 3] (needs grid.color)
 ) -> TSDFGrid:
     """Fuse a stack of frames with one compiled ``lax.scan`` (the TSDF
     analogue of the SLAM pipeline's window scan)."""
 
-    def body(g, xs):
-        d, c, k, e = xs
-        return integrate(g, d, c, k, e, max_weight=max_weight), None
+    if images is None:
 
-    grid, _ = jax.lax.scan(body, grid, (depth, conf, K, E_w2c))
+        def body(g, xs):
+            d, c, k, e = xs
+            return integrate(g, d, c, k, e, max_weight=max_weight), None
+
+        grid, _ = jax.lax.scan(body, grid, (depth, conf, K, E_w2c))
+    else:
+
+        def body_img(g, xs):
+            d, c, k, e, im = xs
+            return integrate(g, d, c, k, e, max_weight=max_weight, image=im), None
+
+        grid, _ = jax.lax.scan(body_img, grid, (depth, conf, K, E_w2c, images))
     return grid
+
+
+def vertex_colors(grid: TSDFGrid, verts_world) -> "np.ndarray":
+    """Per-vertex uint8 colors by nearest-voxel lookup of the color
+    accumulator (host-side; vertices from inout.mesh.tsdf_to_mesh)."""
+    import numpy as np
+
+    if grid.color is None:
+        raise ValueError("grid has no color accumulator (make_grid with_color)")
+    c = np.asarray(grid.color)
+    idx = np.round(
+        (np.asarray(verts_world) - np.asarray(grid.origin)) / float(grid.voxel)
+    ).astype(np.int64)
+    idx = np.clip(idx, 0, np.asarray(c.shape[:3]) - 1)
+    acc = c[idx[:, 0], idx[:, 1], idx[:, 2]]
+    rgb = acc[:, :3] / np.maximum(acc[:, 3:], 1e-12)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def fuse_frames(
@@ -159,6 +216,7 @@ def fuse_frames(
     conf_floor: float = 1.0,
     max_weight: float = 64.0,
     margin: float = 0.05,
+    images=None,  # [T, H, W, 3] → colored grid
 ) -> TSDFGrid:
     """TSDF-fuse a stack of posed depth frames, bounds auto-estimated.
 
@@ -175,17 +233,24 @@ def fuse_frames(
     K = jnp.asarray(K)
     E = jnp.asarray(E_w2c)
 
+    # the 8x-strided grid needs 8x-smaller intrinsics (pixel (u,v) of the
+    # strided map is (8u, 8v) in the original): using full-res K here
+    # collapses the estimated bounds to a corner sliver of the scene
+    K8 = K.at[:, :2, :].multiply(1.0 / 8.0)
     pts = np.asarray(
-        backproject_depth(depth[:, ::8, ::8], K, E)
+        backproject_depth(depth[:, ::8, ::8], K8, E)
     ).reshape(-1, 3)
     d8 = np.asarray(depth[:, ::8, ::8]).reshape(-1)
     ok = np.isfinite(pts).all(axis=1) & (d8 > 1e-6)
     lo = np.quantile(pts[ok], 0.01, axis=0) - margin
     hi = np.quantile(pts[ok], 0.99, axis=0) + margin
-    grid = grid_from_bounds(lo, hi, resolution)
+    grid = grid_from_bounds(lo, hi, resolution, with_color=images is not None)
 
     w = jnp.maximum(conf - conf_floor, 0.0)
-    return integrate_frames(grid, depth, w, K, E, max_weight=max_weight)
+    if images is not None:
+        images = jnp.asarray(images)
+    return integrate_frames(grid, depth, w, K, E, max_weight=max_weight,
+                            images=images)
 
 
 def fuse_pipeline_output(

@@ -210,3 +210,58 @@ class TestMainMeshCLI:
             axis=0,
         )
         assert np.quantile(dists, 0.9) < 0.15
+
+
+class TestColorFusion:
+    def test_colored_plane(self):
+        """Color accumulates only near the surface with its own weight sum
+        (a voxel seen in free space first must not bias toward black)."""
+        hw = (32, 40)
+        H, W = hw
+        K = np.array([[40.0, 0, 20], [0, 40.0, 16], [0, 0, 1]], np.float32)
+        E = np.eye(4, dtype=np.float32)[:3]
+        depth = np.full(hw, 2.0, np.float32)
+        conf = np.full(hw, 2.0, np.float32)
+        # left half red, right half green
+        img = np.zeros((*hw, 3), np.float32)
+        img[:, : W // 2, 0] = 200.0
+        img[:, W // 2 :, 1] = 200.0
+
+        from da3slam_tpu.ops.tsdf import vertex_colors
+
+        grid = fuse_frames(
+            depth[None], conf[None], K[None], E[None],
+            resolution=48, images=img[None],
+        )
+        verts, faces = tsdf_to_mesh(grid)
+        assert len(verts) > 50
+        cols = vertex_colors(grid, verts)
+        # vertices left of the camera axis are red-ish, right are green-ish
+        left = verts[:, 0] < -0.05
+        right = verts[:, 0] > 0.05
+        assert (cols[left, 0] > 120).mean() > 0.9
+        assert (cols[right, 1] > 120).mean() > 0.9
+
+    def test_mesh_cli_color_flag(self, tmp_path, monkeypatch):
+        import da3slam_tpu.models as models
+        from da3slam_tpu.cli.main_mesh import main
+        from da3slam_tpu.inout.mesh import read_mesh_ply
+        from da3slam_tpu.utils.synthetic import (
+            SyntheticDA3, make_synthetic_image_dir, make_trajectory,
+        )
+
+        poses = make_trajectory(5)
+        fake = SyntheticDA3(poses, textured=True)
+        monkeypatch.setattr(
+            models.DepthAnything3, "from_pretrained",
+            classmethod(lambda cls, *a, **k: fake),
+        )
+        d = make_synthetic_image_dir(tmp_path, 5)
+        out = tmp_path / "mesh.ply"
+        main([
+            "--image_dir", str(d), "--chunk_size", "5",
+            "--resolution", "48", "--output", str(out), "--color",
+        ])
+        verts, faces, cols = read_mesh_ply(out, with_colors=True)
+        assert cols is not None and cols.shape == (len(verts), 3)
+        assert cols.std() > 1.0  # textured world → non-constant colors
