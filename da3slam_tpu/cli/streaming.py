@@ -20,6 +20,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--traj_formats", default=None,
                    help="comma-separated interop trajectory exports beside "
                    "camera_poses.txt: tum,kitti")
+    p.add_argument("--mesh", action="store_true",
+                   help="also TSDF-fuse the sequence and write a colored "
+                   "scene_mesh.ply (Model.mesh_resolution controls detail)")
     return p
 
 
@@ -36,6 +39,8 @@ def main(argv=None) -> None:
         config.setdefault("Model", {})["traj_formats"] = [
             f.strip() for f in args.traj_formats.split(",") if f.strip()
         ]
+    if args.mesh:
+        config.setdefault("Model", {})["export_mesh"] = True
 
     streaming = DA3Streaming(args.image_dir, args.output_dir, config)
     streaming.run()

@@ -242,9 +242,14 @@ def fuse_frames(
     ).reshape(-1, 3)
     d8 = np.asarray(depth[:, ::8, ::8]).reshape(-1)
     ok = np.isfinite(pts).all(axis=1) & (d8 > 1e-6)
-    lo = np.quantile(pts[ok], 0.01, axis=0) - margin
-    hi = np.quantile(pts[ok], 0.99, axis=0) + margin
-    grid = grid_from_bounds(lo, hi, resolution, with_color=images is not None)
+    lo = np.quantile(pts[ok], 0.01, axis=0)
+    hi = np.quantile(pts[ok], 0.99, axis=0)
+    # pad past the truncation band: a wall-facing camera puts ~99% of its
+    # points ON one plane, so the quantile box edge lands exactly on the
+    # surface and clips the sign change the mesh needs
+    pad = max(margin, 4.0 * float(np.max(hi - lo, initial=1e-6)) / resolution)
+    grid = grid_from_bounds(lo - pad, hi + pad, resolution,
+                            with_color=images is not None)
 
     w = jnp.maximum(conf - conf_floor, 0.0)
     if images is not None:

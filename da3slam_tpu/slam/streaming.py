@@ -72,6 +72,11 @@ class DA3Streaming:
         self.traj_formats = validate_extra_formats(
             mcfg.get("traj_formats", ()) or ()
         )
+        # optional TSDF mesh export beside combined_pcd.ply (ops/tsdf.py +
+        # inout/mesh.py; the reference has no volumetric output at all)
+        self.export_mesh = mcfg.get("export_mesh", False)
+        self.mesh_resolution = mcfg.get("mesh_resolution", 192)
+        self._mesh_bounds: list = []
         pcfg = config.get("Pointcloud_Save", mcfg.get("Pointcloud_Save", {})) or {}
         self.conf_threshold_coef = pcfg.get("conf_threshold_coef", 1.0)
         self.sample_ratio = pcfg.get("sample_ratio", 0.3)
@@ -356,8 +361,18 @@ class DA3Streaming:
                 points=pts_aligned, conf=chunk["conf"], images=chunk["images"],
             )
             self._save_confident_pointcloud(k, pts_aligned, chunk)
+            # scene bounds for the optional TSDF mesh (strided sample)
+            samp = pts_aligned.reshape(-1, 3)[:: max(pts_aligned.size // 30000, 1)]
+            ok = np.isfinite(samp).all(axis=1)
+            if ok.any():
+                self._mesh_bounds.append((
+                    np.quantile(samp[ok], 0.01, axis=0),
+                    np.quantile(samp[ok], 0.99, axis=0),
+                ))
 
         self.save_camera_poses()
+        if self.export_mesh:
+            self.save_mesh()
         if self.save_debug_info:
             np.savez(
                 self.output_dir / "sim3_debug.npz",
@@ -445,6 +460,67 @@ class DA3Streaming:
         save_camera_poses(self.output_dir, np.stack(all_poses),
                           np.stack(all_intr), chunk_indices=chunk_of_frame,
                           extra_formats=self.traj_formats)
+
+    def save_mesh(self) -> None:
+        """TSDF-fuse every chunk (scaled depth + global w2c poses) and write
+        ``scene_mesh.ply`` with per-vertex colors — the volumetric
+        counterpart of ``combined_pcd.ply``.  Chunks integrate one at a time
+        (bounded memory, like the rest of the streaming path)."""
+        import jax.numpy as jnp
+
+        from da3slam_tpu.inout.mesh import tsdf_to_mesh, write_mesh_ply
+        from da3slam_tpu.ops.tsdf import (
+            grid_from_bounds,
+            integrate_frames,
+            vertex_colors,
+        )
+
+        if not self._mesh_bounds:
+            print("[mesh] no aligned chunks — skipping mesh export")
+            return
+        lo = np.min([b[0] for b in self._mesh_bounds], axis=0)
+        hi = np.max([b[1] for b in self._mesh_bounds], axis=0)
+        # pad past the truncation band (wall-facing cameras put the surface
+        # exactly on the quantile box edge — see ops/tsdf.fuse_frames)
+        pad = max(0.05, 4.0 * float(np.max(hi - lo, initial=1e-6))
+                  / self.mesh_resolution)
+        grid = grid_from_bounds(lo - pad, hi + pad, self.mesh_resolution,
+                                with_color=True)
+
+        for k, (rng, ext) in enumerate(self.all_camera_poses):
+            chunk = self.load_chunk(k)
+            S = np.asarray(
+                sim3_to_matrix(Sim3(self.accumulated.s[k], self.accumulated.R[k],
+                                    self.accumulated.t[k]))
+            )
+            s = float(self.accumulated.s[k])
+            n = chunk["depth"].shape[0]
+            E_glob = np.zeros((n, 3, 4), np.float32)
+            for i in range(n):
+                w2c = np.eye(4)
+                w2c[:3] = ext[i]
+                c2w = S @ np.linalg.inv(w2c)
+                c2w[:3, :3] /= s
+                E_glob[i] = np.linalg.inv(c2w)[:3]
+            grid = integrate_frames(
+                grid,
+                jnp.asarray(chunk["depth"] * np.float32(s)),
+                # spilled conf is already floor-shifted (conf - 1 >= 0)
+                jnp.asarray(np.maximum(chunk["conf"], 0.0)),
+                jnp.asarray(chunk["intrinsics"]),
+                jnp.asarray(E_glob),
+                images=jnp.asarray(chunk["images"].astype(np.float32)),
+            )
+            print(f"[mesh] fused chunk {k + 1}/{len(self.all_camera_poses)}")
+
+        verts, faces = tsdf_to_mesh(grid)
+        if len(verts) == 0:
+            print("[mesh] TSDF produced an empty mesh — nothing written")
+            return
+        cols = vertex_colors(grid, verts)
+        out = self.output_dir / "scene_mesh.ply"
+        write_mesh_ply(out, verts, faces, colors=cols)
+        print(f"[mesh] {len(verts)} vertices, {len(faces)} faces → {out}")
 
     # -- public API --------------------------------------------------------
     def run(self) -> None:

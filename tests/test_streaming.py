@@ -494,3 +494,35 @@ class TestStreamingEndToEnd:
         assert z["relative_s"].shape == (n_chunks - 1,)
         assert z["accumulated_R"].shape == (n_chunks, 3, 3)
         assert int(z["n_loop_edges"]) == 0
+
+
+class TestStreamingMeshExport:
+    def test_mesh_lands_on_room_planes(self, tmp_path):
+        """export_mesh: true → scene_mesh.ply beside combined_pcd.ply, with
+        the fused surface on the synthetic room planes (chunk-0 scale)."""
+        from da3slam_tpu.inout.mesh import read_mesh_ply
+        from da3slam_tpu.utils.synthetic import PLANES
+
+        n = 9
+        poses = make_trajectory(n)
+        scales = [1.4, 0.8, 1.1]
+        model = FakeDA3(poses, chunk_scales=scales)
+        config = {
+            "Model": {"chunk_size": 4, "overlap": 2, "process_res": 64,
+                      "export_mesh": True, "mesh_resolution": 64},
+        }
+        out = tmp_path / "out"
+        s = DA3Streaming(make_fake_image_dir(tmp_path, n), str(out), config,
+                         model=model)
+        s.run()
+        verts, faces, cols = read_mesh_ply(out / "scene_mesh.ply",
+                                           with_colors=True)
+        assert len(verts) > 200 and len(faces) > 200 and cols is not None
+        s0 = scales[0]  # global frame = chunk 0's scale
+        dists = np.min(
+            np.stack([np.abs(verts @ np.asarray(nrm) - c * s0)
+                      for nrm, c in PLANES]),
+            axis=0,
+        )
+        assert np.quantile(dists, 0.9) < 0.2 * s0
+        s.close()
