@@ -104,7 +104,10 @@ def main(argv=None) -> None:
         from da3slam_tpu.ops.tsdf import vertex_colors
 
         colors = vertex_colors(grid, verts)
-    write_mesh_ply(args.output, verts, faces, colors=colors)
+    from da3slam_tpu.inout.mesh import tsdf_vertex_normals
+
+    write_mesh_ply(args.output, verts, faces, colors=colors,
+                   normals=tsdf_vertex_normals(grid, verts))
     print(f"mesh: {len(verts)} vertices, {len(faces)} faces → {args.output}")
 
 

@@ -174,11 +174,30 @@ def tsdf_to_mesh(grid, min_weight: float = 1e-6) -> tuple[np.ndarray, np.ndarray
     )
 
 
+def tsdf_vertex_normals(grid, verts_world: np.ndarray) -> np.ndarray:
+    """Unit vertex normals from the SDF gradient (smoother than face
+    normals — the standard TSDF practice).  Nearest-voxel central
+    differences; sign points outward (toward positive SDF)."""
+    s = np.asarray(grid.sdf)
+    X, Y, Z = s.shape
+    idx = np.round(
+        (np.asarray(verts_world) - np.asarray(grid.origin)) / float(grid.voxel)
+    ).astype(np.int64)
+    idx = np.clip(idx, 1, np.array([X, Y, Z]) - 2)
+    gx = s[idx[:, 0] + 1, idx[:, 1], idx[:, 2]] - s[idx[:, 0] - 1, idx[:, 1], idx[:, 2]]
+    gy = s[idx[:, 0], idx[:, 1] + 1, idx[:, 2]] - s[idx[:, 0], idx[:, 1] - 1, idx[:, 2]]
+    gz = s[idx[:, 0], idx[:, 1], idx[:, 2] + 1] - s[idx[:, 0], idx[:, 1], idx[:, 2] - 1]
+    n = np.stack([gx, gy, gz], axis=-1)
+    return (n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+            ).astype(np.float32)
+
+
 def write_mesh_ply(
     path: str | Path,
     vertices: np.ndarray,
     faces: np.ndarray,
     colors: np.ndarray | None = None,
+    normals: np.ndarray | None = None,
 ) -> None:
     """Binary little-endian PLY with a face element (loads in MeshLab /
     Open3D / Blender)."""
@@ -187,9 +206,15 @@ def write_mesh_ply(
     n, f = len(vertices), len(faces)
     header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}",
               "property float x", "property float y", "property float z"]
+    fields = [("p", "<f4", 3)]
+    if normals is not None:
+        header += ["property float nx", "property float ny",
+                   "property float nz"]
+        fields.append(("nrm", "<f4", 3))
     if colors is not None:
         header += ["property uchar red", "property uchar green",
                    "property uchar blue"]
+        fields.append(("c", "u1", 3))
     header += [f"element face {f}",
                "property list uchar int vertex_indices", "end_header"]
 
@@ -197,14 +222,13 @@ def write_mesh_ply(
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as fh:
         fh.write(("\n".join(header) + "\n").encode("ascii"))
-        if colors is None:
-            fh.write(vertices.tobytes())
-        else:
-            colors = np.ascontiguousarray(colors, np.uint8)
-            rec = np.zeros(n, dtype=[("p", "<f4", 3), ("c", "u1", 3)])
-            rec["p"] = vertices
-            rec["c"] = colors
-            fh.write(rec.tobytes())
+        rec = np.zeros(n, dtype=fields)
+        rec["p"] = vertices
+        if normals is not None:
+            rec["nrm"] = np.ascontiguousarray(normals, np.float32)
+        if colors is not None:
+            rec["c"] = np.ascontiguousarray(colors, np.uint8)
+        fh.write(rec.tobytes())
         rec_f = np.zeros(f, dtype=[("n", "u1"), ("i", "<i4", 3)])
         rec_f["n"] = 3
         rec_f["i"] = faces
@@ -224,11 +248,14 @@ def read_mesh_ply(
     n = int(next(l.split()[2] for l in head if l.startswith("element vertex")))
     f = int(next(l.split()[2] for l in head if l.startswith("element face")))
     has_color = any("uchar red" in l for l in head)
+    has_normals = any("float nx" in l for l in head)
     body = blob[end:]
+    fields = [("p", "<f4", 3)]
+    if has_normals:
+        fields.append(("nrm", "<f4", 3))
     if has_color:
-        vdt = np.dtype([("p", "<f4", 3), ("c", "u1", 3)])
-    else:
-        vdt = np.dtype([("p", "<f4", 3)])
+        fields.append(("c", "u1", 3))
+    vdt = np.dtype(fields)
     verts = np.frombuffer(body, vdt, count=n)
     fdt = np.dtype([("n", "u1"), ("i", "<i4", 3)])
     faces = np.frombuffer(body[n * vdt.itemsize:], fdt, count=f)

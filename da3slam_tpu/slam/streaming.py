@@ -468,7 +468,11 @@ class DA3Streaming:
         (bounded memory, like the rest of the streaming path)."""
         import jax.numpy as jnp
 
-        from da3slam_tpu.inout.mesh import tsdf_to_mesh, write_mesh_ply
+        from da3slam_tpu.inout.mesh import (
+            tsdf_to_mesh,
+            tsdf_vertex_normals,
+            write_mesh_ply,
+        )
         from da3slam_tpu.ops.tsdf import (
             grid_from_bounds,
             integrate_frames,
@@ -519,7 +523,8 @@ class DA3Streaming:
             return
         cols = vertex_colors(grid, verts)
         out = self.output_dir / "scene_mesh.ply"
-        write_mesh_ply(out, verts, faces, colors=cols)
+        write_mesh_ply(out, verts, faces, colors=cols,
+                       normals=tsdf_vertex_normals(grid, verts))
         print(f"[mesh] {len(verts)} vertices, {len(faces)} faces → {out}")
 
     # -- public API --------------------------------------------------------

@@ -265,3 +265,30 @@ class TestColorFusion:
         verts, faces, cols = read_mesh_ply(out, with_colors=True)
         assert cols is not None and cols.shape == (len(verts), 3)
         assert cols.std() > 1.0  # textured world → non-constant colors
+
+
+class TestVertexNormals:
+    def test_sphere_normals_radial(self, tmp_path):
+        """SDF-gradient normals of a sphere point radially outward; they
+        roundtrip through the mesh PLY together with colors."""
+        from da3slam_tpu.inout.mesh import tsdf_vertex_normals
+        from da3slam_tpu.ops.tsdf import make_grid
+
+        sdf, c, R = sphere_sdf(40)
+        verts, faces = marching_tetrahedra(sdf)
+        grid = make_grid((0, 0, 0), sdf.shape, voxel=1.0)._replace(
+            sdf=__import__("jax.numpy", fromlist=["asarray"]).asarray(sdf)
+        )
+        normals = tsdf_vertex_normals(grid, verts)
+        np.testing.assert_allclose(np.linalg.norm(normals, axis=-1), 1.0,
+                                   atol=1e-5)
+        radial = (verts - c) / np.linalg.norm(verts - c, axis=-1, keepdims=True)
+        cosang = np.sum(normals * radial, axis=-1)
+        assert np.quantile(cosang, 0.05) > 0.95  # outward, near-radial
+
+        write_mesh_ply(tmp_path / "m.ply", verts, faces,
+                       colors=np.full((len(verts), 3), 99, np.uint8),
+                       normals=normals)
+        v2, f2, c2 = read_mesh_ply(tmp_path / "m.ply", with_colors=True)
+        np.testing.assert_allclose(v2, verts, atol=1e-6)
+        np.testing.assert_array_equal(c2, 99)
