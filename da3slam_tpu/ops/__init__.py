@@ -15,3 +15,10 @@ from da3slam_tpu.ops.registration import (  # noqa: F401
     RegistrationResult,
 )
 from da3slam_tpu.ops.icp import icp_point_to_point, ICPResult  # noqa: F401
+from da3slam_tpu.ops.tsdf import (  # noqa: F401
+    TSDFGrid,
+    fuse_frames,
+    fuse_pipeline_output,
+    integrate_frames,
+    make_grid,
+)

@@ -229,6 +229,29 @@ class SLAMViewer:
     def _update_point_cloud(self) -> None:
         self._refresh_all()
 
+    # -- mesh overlay --------------------------------------------------------
+    def set_mesh(self, vertices, faces, colors=None) -> None:
+        """Show (or replace) a fused TSDF mesh (inout/mesh.py) alongside the
+        per-frame clouds.  ``colors`` may be per-vertex uint8; viser's
+        simple-mesh API takes one color, so the mean is used there while
+        full per-vertex colors stay in the exported PLY."""
+        import numpy as _np
+
+        with self._lock:
+            if getattr(self, "_mesh_handle", None) is not None:
+                self._mesh_handle.remove()
+            color = (
+                tuple(int(c) for c in _np.asarray(colors).reshape(-1, 3).mean(0))
+                if colors is not None
+                else (160, 160, 170)
+            )
+            self._mesh_handle = self.server.scene.add_mesh_simple(
+                "/scene_mesh",
+                vertices=_np.asarray(vertices, _np.float32),
+                faces=_np.asarray(faces, _np.int32),
+                color=color,
+            )
+
     # -- demo mode ---------------------------------------------------------
     def run_demo_flythrough(
         self, interval_s: float = 0.5, steps_per_edge: int = 12

@@ -60,6 +60,12 @@ class _Scene:
     def __init__(self):
         self.clouds = []
         self.frusta = []
+        self.meshes = []
+
+    def add_mesh_simple(self, name, vertices, faces, color):
+        m = _Cloud(name=name, vertices=vertices, faces=faces, color=color)
+        self.meshes.append(m)
+        return m
 
     def add_point_cloud(self, name, points, colors, point_size):
         c = _Cloud(name=name, points=points, colors=colors, point_size=point_size)
@@ -209,3 +215,16 @@ class TestSLAMViewer:
         chw = img.transpose(2, 0, 1) / 255.0
         v.add_frame(chw, depth, conf, E, K)
         assert len(v.server.scene.clouds) == 1
+
+
+class TestMeshOverlay:
+    def test_set_mesh_replaces_handle(self, viewer_cls):
+        v = viewer_cls(port=0)
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        faces = np.array([[0, 1, 2]], np.int64)
+        v.set_mesh(verts, faces, colors=np.full((3, 3), 200, np.uint8))
+        first = v.server.scene.meshes[-1]
+        assert first.vertices.shape == (3, 3) and first.color == (200, 200, 200)
+        v.set_mesh(verts * 2, faces)
+        assert first.removed
+        assert v.server.scene.meshes[-1].vertices[1, 0] == 2.0
