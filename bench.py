@@ -26,6 +26,9 @@ JSON line per metric, headline first:
   flash_attn_tflops      — flash-attention kernel TF/s at the SLAM hot
                            shape (vs_baseline = fraction of the D=64
                            speed-of-light on a v5e)
+  tsdf_fusion_fps        — TSDF volumetric fusion (ops/tsdf.py) of every
+                           pipeline frame into a 192-voxel grid, frames/s
+                           (the volumetric backend the reference lacks)
   synthetic_ate_rmse     — correctness: SLAMSolver on the textured synthetic
                            ground-truth world (per-chunk scale ambiguity +
                            noise), ATE in world units (lower is better)
@@ -295,6 +298,45 @@ def bench_align_export(model, frames_dev, hw, tmp_dir) -> float:
     return (2 * n - 1) / dt
 
 
+def bench_tsdf_fusion(model, frames_dev, hw, n_reps=3) -> float:
+    """TSDF volumetric fusion throughput (ops/tsdf.py): run the SLAM
+    pipeline once (compile already cached by the headline metric), then
+    time integrating every frame's depth into a 192-voxel grid — the
+    volumetric backend the reference lacks (it only concatenates point
+    clouds).  Frames/s over the fusion scan alone."""
+    import jax
+    import jax.numpy as jnp
+
+    from da3slam_tpu.ops.tsdf import fuse_frames, grid_from_bounds, integrate_frames
+    from da3slam_tpu.slam.pipeline import run_streaming_slam
+
+    out = run_streaming_slam(
+        model.params, frames_dev, model.cfg,
+        chunk_size=16, overlap=1, process_hw=hw, segment_spill="device",
+    )
+    C, N = out.depth.shape[:2]
+    depth = jnp.asarray(out.depth).reshape(C * N, *out.depth.shape[2:])
+    conf = jnp.maximum(jnp.asarray(out.conf).reshape(C * N, *out.conf.shape[2:]) - 1.0, 0.0)
+    K = jnp.asarray(out.intrinsics).reshape(C * N, 3, 3)
+    E = jnp.asarray(out.extrinsics_global).reshape(C * N, 3, 4)
+    jax.block_until_ready(depth)
+
+    # bounds once (host); the timed loop is the device fusion scan
+    grid0 = fuse_frames(depth[:8], conf[:8], K[:8], E[:8], resolution=192)
+    grid0 = grid_from_bounds(
+        np.asarray(grid0.origin),
+        np.asarray(grid0.origin) + np.asarray(grid0.sdf.shape) * float(grid0.voxel),
+        192,
+    )
+    g = integrate_frames(grid0, depth, conf, K, E)
+    _force(g.sdf[0, 0, -8:])
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        g = integrate_frames(grid0, depth, conf, K, E)
+    _force(g.sdf[0, 0, -8:])
+    return depth.shape[0] * n_reps / (time.perf_counter() - t0)
+
+
 def bench_synthetic_ate() -> float:
     """SLAM correctness on the synthetic ground-truth world: recover a known
     trajectory through per-chunk scale ambiguity and mild depth noise."""
@@ -407,6 +449,9 @@ def main() -> None:
             bench_flash_attention_tflops,
             # vs the D=64 speed-of-light: 50% of a v5e's 197 TF/s bf16 peak
             lambda v: v / 98.5)
+    guarded("tsdf_fusion_fps", "frames/s",
+            lambda: bench_tsdf_fusion(small, frames_dev, hw),
+            lambda v: v / BASELINE_FPS)
     guarded("synthetic_ate_rmse", "world-units",
             bench_synthetic_ate, lambda v: ATE_BOUND / max(v, 1e-9))
 

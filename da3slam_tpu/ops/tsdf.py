@@ -82,17 +82,39 @@ def grid_from_bounds(
     return make_grid(lo, size, voxel, with_color=with_color)
 
 
-def _voxel_centers_cam(grid: TSDFGrid, E_w2c: jax.Array) -> jax.Array:
-    """World voxel centers transformed to the camera frame → ``[V, 3]``."""
+def _voxel_centers_world(grid: TSDFGrid) -> jax.Array:
+    """World voxel centers ``[V, 3]`` (constant across frames — hoist out of
+    per-frame bodies so the scan doesn't rebuild the meshgrid every step)."""
     X, Y, Z = grid.sdf.shape
     ix = jnp.arange(X, dtype=jnp.float32)
     iy = jnp.arange(Y, dtype=jnp.float32)
     iz = jnp.arange(Z, dtype=jnp.float32)
     gx, gy, gz = jnp.meshgrid(ix, iy, iz, indexing="ij")
     pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-    pts = pts * grid.voxel + grid.origin
+    return pts * grid.voxel + grid.origin
+
+
+def _voxel_centers_cam(
+    grid: TSDFGrid, E_w2c: jax.Array, pts_world: jax.Array | None = None
+) -> jax.Array:
+    """World voxel centers transformed to the camera frame → ``[V, 3]``.
+
+    The transform is written elementwise rather than as ``pts @ R.T``: a
+    [V, 3] x [3, 3] matmul pads its 3-deep/3-wide contraction onto the
+    128x128 MXU (~40x wasted work at multi-million-voxel grids); nine
+    broadcast FMAs fuse into the projection's VPU passes instead."""
+    if pts_world is None:
+        pts_world = _voxel_centers_world(grid)
     R, t = E_w2c[:3, :3], E_w2c[:3, 3]
-    return pts @ R.T + t
+    x, y, z = pts_world[:, 0], pts_world[:, 1], pts_world[:, 2]
+    return jnp.stack(
+        [
+            R[0, 0] * x + R[0, 1] * y + R[0, 2] * z + t[0],
+            R[1, 0] * x + R[1, 1] * y + R[1, 2] * z + t[1],
+            R[2, 0] * x + R[2, 1] * y + R[2, 2] * z + t[2],
+        ],
+        axis=-1,
+    )
 
 
 def integrate(
@@ -103,6 +125,7 @@ def integrate(
     E_w2c: jax.Array,  # [3, 4]
     max_weight: float = 64.0,
     image: jax.Array | None = None,  # [H, W, 3] (needs grid.color)
+    pts_world: jax.Array | None = None,  # precomputed [V, 3] voxel centers
 ) -> TSDFGrid:
     """Fuse one depth frame into the grid (pure; jit/scan-safe).
 
@@ -114,7 +137,7 @@ def integrate(
     the surface can still adapt late in a long sequence.
     """
     H, W = depth.shape
-    cam = _voxel_centers_cam(grid, E_w2c)  # [V, 3]
+    cam = _voxel_centers_cam(grid, E_w2c, pts_world)  # [V, 3]
     z = cam[:, 2]
     u = cam[:, 0] / jnp.maximum(z, 1e-9) * K[0, 0] + K[0, 2]
     v = cam[:, 1] / jnp.maximum(z, 1e-9) * K[1, 1] + K[1, 2]
@@ -125,8 +148,12 @@ def integrate(
     vi = jnp.clip(vi, 0, H - 1)
 
     flat = vi * W + ui
-    d_pix = jnp.take(depth.reshape(-1), flat)
-    w_pix = jnp.take(conf.reshape(-1), flat)
+    # ONE gather for depth+conf (TPU gathers are per-element; packing the
+    # lookups into [H*W, 2] rows halves the dominant cost of the update)
+    dc = jnp.take(
+        jnp.stack([depth.reshape(-1), conf.reshape(-1)], axis=-1), flat, axis=0
+    )
+    d_pix, w_pix = dc[:, 0], dc[:, 1]
 
     sdf_obs = (d_pix - z) / grid.trunc
     valid = in_img & (d_pix > 1e-6) & (sdf_obs > -1.0)
@@ -173,18 +200,21 @@ def integrate_frames(
     """Fuse a stack of frames with one compiled ``lax.scan`` (the TSDF
     analogue of the SLAM pipeline's window scan)."""
 
+    pts_world = _voxel_centers_world(grid)  # constant: built once, not per step
     if images is None:
 
         def body(g, xs):
             d, c, k, e = xs
-            return integrate(g, d, c, k, e, max_weight=max_weight), None
+            return integrate(g, d, c, k, e, max_weight=max_weight,
+                             pts_world=pts_world), None
 
         grid, _ = jax.lax.scan(body, grid, (depth, conf, K, E_w2c))
     else:
 
         def body_img(g, xs):
             d, c, k, e, im = xs
-            return integrate(g, d, c, k, e, max_weight=max_weight, image=im), None
+            return integrate(g, d, c, k, e, max_weight=max_weight, image=im,
+                             pts_world=pts_world), None
 
         grid, _ = jax.lax.scan(body_img, grid, (depth, conf, K, E_w2c, images))
     return grid
