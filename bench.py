@@ -307,7 +307,11 @@ def bench_tsdf_fusion(model, frames_dev, hw, n_reps=3) -> float:
     import jax
     import jax.numpy as jnp
 
-    from da3slam_tpu.ops.tsdf import fuse_frames, grid_from_bounds, integrate_frames
+    from da3slam_tpu.ops.tsdf import (
+        estimate_bounds,
+        grid_from_bounds,
+        integrate_frames,
+    )
     from da3slam_tpu.slam.pipeline import run_streaming_slam
 
     out = run_streaming_slam(
@@ -321,13 +325,9 @@ def bench_tsdf_fusion(model, frames_dev, hw, n_reps=3) -> float:
     E = jnp.asarray(out.extrinsics_global).reshape(C * N, 3, 4)
     jax.block_until_ready(depth)
 
-    # bounds once (host); the timed loop is the device fusion scan
-    grid0 = fuse_frames(depth[:8], conf[:8], K[:8], E[:8], resolution=192)
-    grid0 = grid_from_bounds(
-        np.asarray(grid0.origin),
-        np.asarray(grid0.origin) + np.asarray(grid0.sdf.shape) * float(grid0.voxel),
-        192,
-    )
+    # bounds once (host quantiles); the timed loop is the device fusion scan
+    lo, hi = estimate_bounds(depth[:8], K[:8], E[:8], resolution=192)
+    grid0 = grid_from_bounds(lo, hi, 192)
     g = integrate_frames(grid0, depth, conf, K, E)
     _force(g.sdf[0, 0, -8:])
     t0 = time.perf_counter()

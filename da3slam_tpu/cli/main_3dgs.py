@@ -52,7 +52,7 @@ def main(argv=None) -> None:
     from da3slam_tpu.inout.export3d import prediction_to_3dgs, export_glb
     from da3slam_tpu.models import DepthAnything3
     from da3slam_tpu.models.da3 import Prediction
-    from da3slam_tpu.slam import align_chunk_single_overlap, make_image_chunks
+    from da3slam_tpu.slam.chunks import run_chunked_alignment
 
     model_path = args.model
     if args.config:
@@ -63,38 +63,16 @@ def main(argv=None) -> None:
     if not paths:
         raise SystemExit(f"no images in {args.image_dir}")
 
-    chunks = make_image_chunks(paths, args.chunk_size, 1)
-    preds, exts = [], []
-    prev = None
-    prev_overlap = None
-    for k, chunk in enumerate(chunks):
-        cur = model.inference(image=chunk, process_res=args.process_res)
-        if k == 0:
-            ext_global = cur.extrinsics
-        else:
-            out = align_chunk_single_overlap(
-                prev_depth=jnp.asarray(prev.depth[-1]),
-                prev_conf=jnp.asarray(prev.conf[-1]),
-                prev_K=jnp.asarray(prev.intrinsics[-1]),
-                cur_depth=jnp.asarray(cur.depth),
-                cur_conf=jnp.asarray(cur.conf),
-                cur_K=jnp.asarray(cur.intrinsics),
-                cur_extrinsics=jnp.asarray(cur.extrinsics),
-                prev_overlap_global=jnp.asarray(prev_overlap, jnp.float32),
-            )
-            ext_global = np.asarray(out.extrinsics_global, np.float32)
-            cur.depth = np.asarray(out.depth_scaled)
-        preds.append(cur)
-        exts.append(ext_global)
-        prev, prev_overlap = cur, ext_global[-1]
-        print(f"chunk {k + 1}/{len(chunks)} done")
-
+    fused = run_chunked_alignment(
+        model, paths, args.chunk_size, overlap=1,
+        process_res=args.process_res, collect_images=True,
+    )
     merged = Prediction(
-        processed_images=np.concatenate([p.processed_images for p in preds]),
-        depth=np.concatenate([p.depth for p in preds]),
-        conf=np.concatenate([p.conf for p in preds]),
-        extrinsics=np.concatenate(exts).astype(np.float32),
-        intrinsics=np.concatenate([p.intrinsics for p in preds]),
+        processed_images=fused["images"],
+        depth=fused["depth"],
+        conf=fused["conf"],
+        extrinsics=fused["extrinsics_global"],
+        intrinsics=fused["intrinsics"],
     )
     if args.refine_iters > 0 or args.train_iters > 0:
         from da3slam_tpu.inout.export3d import export_3dgs_ply, splats_from_prediction

@@ -42,7 +42,8 @@ def main(argv=None) -> None:
     from da3slam_tpu.core.geometry import backproject_depth
     from da3slam_tpu.inout import load_config, load_image_paths
     from da3slam_tpu.models import DepthAnything3
-    from da3slam_tpu.slam import AlignmentConfig, align_chunk_single_overlap, make_image_chunks
+    from da3slam_tpu.slam import AlignmentConfig, align_chunk_single_overlap
+    from da3slam_tpu.slam.chunks import make_chunk_indices
 
     if args.config:
         cfg = load_config(args.config)
@@ -54,7 +55,8 @@ def main(argv=None) -> None:
     paths = load_image_paths(args.image_dir)
     if not paths:
         raise SystemExit(f"no images in {args.image_dir}")
-    chunks = make_image_chunks(paths, args.chunk_size, args.overlap)
+    ranges = make_chunk_indices(len(paths), args.chunk_size, args.overlap)
+    chunks = [paths[a:b] for a, b in ranges]
     print(f"{len(paths)} frames → {len(chunks)} chunks of {args.chunk_size}")
 
     align_cfg = AlignmentConfig(method=args.method)
@@ -99,6 +101,10 @@ def main(argv=None) -> None:
 
     for k in range(1, len(chunks)):
         cur = model.inference(image=chunks[k], use_ray_pose=True, process_res=args.process_res)
+        # index within cur of the frame that IS prev's last frame: overlap-1
+        # in steady state, larger for the re-anchored tail chunk — anchor 0
+        # would register depth maps of different physical frames
+        anchor = ranges[k - 1][1] - 1 - ranges[k][0]
         out = align_chunk_single_overlap(
             prev_depth=jnp.asarray(prev.depth[-1]),
             prev_conf=jnp.asarray(prev.conf[-1]),
@@ -109,6 +115,7 @@ def main(argv=None) -> None:
             cur_extrinsics=jnp.asarray(cur.extrinsics),
             prev_overlap_global=jnp.asarray(prev_overlap_global, jnp.float32),
             config=align_cfg,
+            anchor_idx=np.int32(anchor),
         )
         print(f"chunk {k}: s={float(out.depth_scale):.4f} "
               f"fitness={float(out.fitness):.4f} rmse={float(out.inlier_rmse):.5f}")

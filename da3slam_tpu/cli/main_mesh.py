@@ -40,13 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
-    import jax.numpy as jnp
-
     from da3slam_tpu.inout import load_config, load_image_paths
     from da3slam_tpu.inout.mesh import tsdf_to_mesh, write_mesh_ply
     from da3slam_tpu.models import DepthAnything3
     from da3slam_tpu.ops.tsdf import fuse_frames
-    from da3slam_tpu.slam import align_chunk_single_overlap, make_image_chunks
+    from da3slam_tpu.slam.chunks import run_chunked_alignment
 
     model_path = args.model
     if args.config:
@@ -57,43 +55,18 @@ def main(argv=None) -> None:
     if not paths:
         raise SystemExit(f"no images in {args.image_dir}")
 
-    chunks = make_image_chunks(paths, args.chunk_size, 1)
-    depths, confs, Ks, Es, imgs = [], [], [], [], []
-    prev = None
-    prev_overlap = None
-    for k, chunk in enumerate(chunks):
-        cur = model.inference(image=chunk, process_res=args.process_res)
-        if k == 0:
-            ext_global = cur.extrinsics
-        else:
-            out = align_chunk_single_overlap(
-                prev_depth=jnp.asarray(prev.depth[-1]),
-                prev_conf=jnp.asarray(prev.conf[-1]),
-                prev_K=jnp.asarray(prev.intrinsics[-1]),
-                cur_depth=jnp.asarray(cur.depth),
-                cur_conf=jnp.asarray(cur.conf),
-                cur_K=jnp.asarray(cur.intrinsics),
-                cur_extrinsics=jnp.asarray(cur.extrinsics),
-                prev_overlap_global=jnp.asarray(prev_overlap, jnp.float32),
-            )
-            ext_global = np.asarray(out.extrinsics_global, np.float32)
-            cur.depth = np.asarray(out.depth_scaled)
-        depths.append(cur.depth)
-        confs.append(cur.conf)
-        Ks.append(cur.intrinsics)
-        Es.append(ext_global)
-        if args.color:
-            imgs.append(cur.processed_images)
-        prev, prev_overlap = cur, ext_global[-1]
-        print(f"chunk {k + 1}/{len(chunks)} done")
+    fused = run_chunked_alignment(
+        model, paths, args.chunk_size, overlap=1,
+        process_res=args.process_res, collect_images=args.color,
+    )
 
     grid = fuse_frames(
-        np.concatenate(depths), np.concatenate(confs),
-        np.concatenate(Ks), np.concatenate(Es).astype(np.float32),
+        fused["depth"], fused["conf"], fused["intrinsics"],
+        fused["extrinsics_global"],
         resolution=args.resolution,
         conf_floor=args.conf_floor,
         max_weight=args.max_weight,
-        images=np.concatenate(imgs) if args.color else None,
+        images=fused.get("images"),
     )
     verts, faces = tsdf_to_mesh(grid)
     if len(verts) == 0:

@@ -136,11 +136,7 @@ def marching_tetrahedra(
     # sample the sdf gradient at each triangle centroid via central
     # differences on the grid (nearest-voxel; adequate for orientation)
     cen = tri.mean(axis=1)
-    ci = np.clip(np.round(cen).astype(np.int64), 1, np.array([X, Y, Z]) - 2)
-    gx = s[ci[:, 0] + 1, ci[:, 1], ci[:, 2]] - s[ci[:, 0] - 1, ci[:, 1], ci[:, 2]]
-    gy = s[ci[:, 0], ci[:, 1] + 1, ci[:, 2]] - s[ci[:, 0], ci[:, 1] - 1, ci[:, 2]]
-    gz = s[ci[:, 0], ci[:, 1], ci[:, 2] + 1] - s[ci[:, 0], ci[:, 1], ci[:, 2] - 1]
-    grad = np.stack([gx, gy, gz], axis=-1)
+    grad = _sdf_gradient_at(s, cen)
     nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
     flip = np.sum(nrm * grad, axis=-1) < 0.0
     tri[flip] = tri[flip][:, ::-1]
@@ -165,6 +161,27 @@ def marching_tetrahedra(
     return verts.astype(np.float32), faces.astype(np.int64)
 
 
+def _sdf_gradient_at(s: np.ndarray, pos_voxel: np.ndarray) -> np.ndarray:
+    """SDF gradient at voxel-space positions via nearest-voxel differences
+    with CLAMPED (one-sided at borders) neighbors — ``clip(i, 1, dim-2)``
+    would wrap to -1 on 2-voxel-thin grids (numpy's clip returns a_max when
+    a_min > a_max) and read unrelated far-side voxels."""
+    X, Y, Z = s.shape
+    ci = np.round(pos_voxel).astype(np.int64)
+    ci = np.clip(ci, 0, np.array([X, Y, Z]) - 1)
+
+    def d(axis, dim):
+        ip = np.minimum(ci[:, axis] + 1, dim - 1)
+        im = np.maximum(ci[:, axis] - 1, 0)
+        hi = list(ci.T)
+        lo = list(ci.T)
+        hi[axis] = ip
+        lo[axis] = im
+        return s[tuple(hi)] - s[tuple(lo)]
+
+    return np.stack([d(0, X), d(1, Y), d(2, Z)], axis=-1)
+
+
 def tsdf_to_mesh(grid, min_weight: float = 1e-6) -> tuple[np.ndarray, np.ndarray]:
     """Extract the zero iso-surface of an ops.tsdf.TSDFGrid."""
     sdf = np.asarray(grid.sdf)
@@ -179,15 +196,8 @@ def tsdf_vertex_normals(grid, verts_world: np.ndarray) -> np.ndarray:
     normals — the standard TSDF practice).  Nearest-voxel central
     differences; sign points outward (toward positive SDF)."""
     s = np.asarray(grid.sdf)
-    X, Y, Z = s.shape
-    idx = np.round(
-        (np.asarray(verts_world) - np.asarray(grid.origin)) / float(grid.voxel)
-    ).astype(np.int64)
-    idx = np.clip(idx, 1, np.array([X, Y, Z]) - 2)
-    gx = s[idx[:, 0] + 1, idx[:, 1], idx[:, 2]] - s[idx[:, 0] - 1, idx[:, 1], idx[:, 2]]
-    gy = s[idx[:, 0], idx[:, 1] + 1, idx[:, 2]] - s[idx[:, 0], idx[:, 1] - 1, idx[:, 2]]
-    gz = s[idx[:, 0], idx[:, 1], idx[:, 2] + 1] - s[idx[:, 0], idx[:, 1], idx[:, 2] - 1]
-    n = np.stack([gx, gy, gz], axis=-1)
+    pos = (np.asarray(verts_world) - np.asarray(grid.origin)) / float(grid.voxel)
+    n = _sdf_gradient_at(s, pos)
     return (n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
             ).astype(np.float32)
 

@@ -222,7 +222,11 @@ def integrate_frames(
 
 def vertex_colors(grid: TSDFGrid, verts_world) -> "np.ndarray":
     """Per-vertex uint8 colors by nearest-voxel lookup of the color
-    accumulator (host-side; vertices from inout.mesh.tsdf_to_mesh)."""
+    accumulator (host-side; vertices from inout.mesh.tsdf_to_mesh).
+
+    Vertices whose nearest voxel never received near-surface color weight
+    (possible at mesh borders where only clipped free-space observations
+    landed) fall back to the scene's mean color instead of black."""
     import numpy as np
 
     if grid.color is None:
@@ -233,8 +237,46 @@ def vertex_colors(grid: TSDFGrid, verts_world) -> "np.ndarray":
     ).astype(np.int64)
     idx = np.clip(idx, 0, np.asarray(c.shape[:3]) - 1)
     acc = c[idx[:, 0], idx[:, 1], idx[:, 2]]
+    has_w = acc[:, 3] > 1e-12
     rgb = acc[:, :3] / np.maximum(acc[:, 3:], 1e-12)
+    if not has_w.all():
+        fallback = rgb[has_w].mean(axis=0) if has_w.any() else np.full(3, 128.0)
+        rgb[~has_w] = fallback
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def estimate_bounds(
+    depth, K, E_w2c, resolution: int = 192, margin: float = 0.05
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Scene bounds (lo, hi) from a strided backprojection: 1%/99% point
+    quantiles, padded past the truncation band (a wall-facing camera puts
+    ~99% of its points ON one plane, so the raw quantile box edge would
+    land exactly on the surface and clip the sign change a mesh needs)."""
+    import numpy as np
+
+    from da3slam_tpu.core.geometry import backproject_depth
+
+    depth = jnp.asarray(depth)
+    K = jnp.asarray(K)
+    # the 8x-strided grid needs 8x-smaller intrinsics (pixel (u,v) of the
+    # strided map is (8u, 8v) in the original): full-res K here collapses
+    # the estimated bounds to a corner sliver of the scene
+    K8 = K.at[:, :2, :].multiply(1.0 / 8.0)
+    pts = np.asarray(
+        backproject_depth(depth[:, ::8, ::8], K8, jnp.asarray(E_w2c))
+    ).reshape(-1, 3)
+    d8 = np.asarray(depth[:, ::8, ::8]).reshape(-1)
+    ok = np.isfinite(pts).all(axis=1) & (d8 > 1e-6)
+    if not ok.any():
+        raise ValueError(
+            "TSDF bounds estimation found no valid depth sample — every "
+            "strided pixel is non-finite or <= 1e-6; check the depth scale "
+            "and validity masking"
+        )
+    lo = np.quantile(pts[ok], 0.01, axis=0)
+    hi = np.quantile(pts[ok], 0.99, axis=0)
+    pad = max(margin, 4.0 * float(np.max(hi - lo, initial=1e-6)) / resolution)
+    return lo - pad, hi + pad
 
 
 def fuse_frames(
@@ -254,31 +296,13 @@ def fuse_frames(
     quantiles + ``margin``, host side); confidence below ``conf_floor``
     contributes zero weight (the model's conf contract floor is 1.0,
     solver.py:125)."""
-    import numpy as np
-
-    from da3slam_tpu.core.geometry import backproject_depth
-
     depth = jnp.asarray(depth)
     conf = jnp.asarray(conf)
     K = jnp.asarray(K)
     E = jnp.asarray(E_w2c)
 
-    # the 8x-strided grid needs 8x-smaller intrinsics (pixel (u,v) of the
-    # strided map is (8u, 8v) in the original): using full-res K here
-    # collapses the estimated bounds to a corner sliver of the scene
-    K8 = K.at[:, :2, :].multiply(1.0 / 8.0)
-    pts = np.asarray(
-        backproject_depth(depth[:, ::8, ::8], K8, E)
-    ).reshape(-1, 3)
-    d8 = np.asarray(depth[:, ::8, ::8]).reshape(-1)
-    ok = np.isfinite(pts).all(axis=1) & (d8 > 1e-6)
-    lo = np.quantile(pts[ok], 0.01, axis=0)
-    hi = np.quantile(pts[ok], 0.99, axis=0)
-    # pad past the truncation band: a wall-facing camera puts ~99% of its
-    # points ON one plane, so the quantile box edge lands exactly on the
-    # surface and clips the sign change the mesh needs
-    pad = max(margin, 4.0 * float(np.max(hi - lo, initial=1e-6)) / resolution)
-    grid = grid_from_bounds(lo - pad, hi + pad, resolution,
+    lo, hi = estimate_bounds(depth, K, E, resolution=resolution, margin=margin)
+    grid = grid_from_bounds(lo, hi, resolution,
                             with_color=images is not None)
 
     w = jnp.maximum(conf - conf_floor, 0.0)

@@ -361,14 +361,16 @@ class DA3Streaming:
                 points=pts_aligned, conf=chunk["conf"], images=chunk["images"],
             )
             self._save_confident_pointcloud(k, pts_aligned, chunk)
-            # scene bounds for the optional TSDF mesh (strided sample)
-            samp = pts_aligned.reshape(-1, 3)[:: max(pts_aligned.size // 30000, 1)]
-            ok = np.isfinite(samp).all(axis=1)
-            if ok.any():
-                self._mesh_bounds.append((
-                    np.quantile(samp[ok], 0.01, axis=0),
-                    np.quantile(samp[ok], 0.99, axis=0),
-                ))
+            if self.export_mesh:
+                # scene bounds for the TSDF mesh (~10k-point strided sample)
+                n_pts = pts_aligned.size // 3
+                samp = pts_aligned.reshape(-1, 3)[:: max(n_pts // 10000, 1)]
+                ok = np.isfinite(samp).all(axis=1)
+                if ok.any():
+                    self._mesh_bounds.append((
+                        np.quantile(samp[ok], 0.01, axis=0),
+                        np.quantile(samp[ok], 0.99, axis=0),
+                    ))
 
         self.save_camera_poses()
         if self.export_mesh:
@@ -491,21 +493,22 @@ class DA3Streaming:
         grid = grid_from_bounds(lo - pad, hi + pad, self.mesh_resolution,
                                 with_color=True)
 
+        from da3slam_tpu.core.transforms import sim3_transform_w2c
+
         for k, (rng, ext) in enumerate(self.all_camera_poses):
             chunk = self.load_chunk(k)
-            S = np.asarray(
-                sim3_to_matrix(Sim3(self.accumulated.s[k], self.accumulated.R[k],
-                                    self.accumulated.t[k]))
-            )
+            T = Sim3(self.accumulated.s[k], self.accumulated.R[k],
+                     self.accumulated.t[k])
             s = float(self.accumulated.s[k])
-            n = chunk["depth"].shape[0]
-            E_glob = np.zeros((n, 3, 4), np.float32)
-            for i in range(n):
-                w2c = np.eye(4)
-                w2c[:3] = ext[i]
-                c2w = S @ np.linalg.inv(w2c)
-                c2w[:3, :3] /= s
-                E_glob[i] = np.linalg.inv(c2w)[:3]
+            # global w2c per frame: the same Sim(3) change of world frame as
+            # save_camera_poses, via the shared core helper.
+            # sim3_transform_w2c preserves ORIGINAL camera coords; the fused
+            # depth below is scaled by s, so the whole 3x4 scales by s too
+            # (algebraically identical to inv(S @ c2w with R/s-normalised)).
+            E_glob = np.asarray(
+                s * sim3_transform_w2c(jnp.asarray(ext, jnp.float32), T),
+                np.float32,
+            )
             grid = integrate_frames(
                 grid,
                 jnp.asarray(chunk["depth"] * np.float32(s)),

@@ -234,3 +234,38 @@ class TestSim3Mode:
         solver.run()
         c2w_est, _ = solver.trajectory()
         assert ate_rmse(c2w_est, gt_c2w(poses)[: len(c2w_est)]) < 1e-2
+
+
+class TestChunkedAlignmentHelper:
+    def test_tail_anchor_pairing(self, tmp_path):
+        """run_chunked_alignment (the shared loop of main_align/main_3dgs/
+        main_mesh) must anchor the re-anchored tail chunk on the frame that
+        IS the previous chunk's last frame — anchor 0 registers depth maps
+        of different physical frames and mis-places the whole tail."""
+        from da3slam_tpu.slam.chunks import run_chunked_alignment
+
+        n = 9  # chunk 4, overlap 1 → ranges (0,4),(3,7),(5,9): tail anchor 1
+        poses = make_trajectory(n)
+        # chunk-0 scale 1.0: the global frame inherits it, and ate_rmse
+        # compares unscaled (the later chunks' ambiguity still exercises
+        # the scale estimation through the anchor pairing)
+        model = FakeDA3(poses, chunk_scales=[1.0, 0.8, 1.1])
+        image_dir = make_fake_image_dir(tmp_path, n)
+        from da3slam_tpu.inout import load_image_paths
+
+        paths = load_image_paths(image_dir)
+        out = run_chunked_alignment(model, paths, chunk_size=4, overlap=1,
+                                    process_res=64, verbose=False)
+        assert out["ranges"][-1] == (5, 9)
+        # reconstruct the per-frame trajectory from the concatenated chunks
+        # (later chunks overwrite overlaps) and compare against ground truth
+        E = out["extrinsics_global"]
+        c2w_full = np.zeros((n, 4, 4))
+        pos = 0
+        for (a, b) in out["ranges"]:
+            for j, idx in enumerate(range(a, b)):
+                M = np.eye(4)
+                M[:3] = E[pos + j]
+                c2w_full[idx] = np.linalg.inv(M)
+            pos += b - a
+        assert ate_rmse(c2w_full, gt_c2w(poses)) < 0.05
