@@ -43,11 +43,6 @@ _CORNER_OFFSETS = np.stack(
     [np.array([b & 1, (b >> 1) & 1, (b >> 2) & 1], np.float32) for b in range(8)]
 )  # [8, 3] in (x, y, z)
 
-# tet-local edges (pairs of the 4 tet vertices)
-_TET_EDGES = np.asarray(
-    [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], np.int32
-)
-
 
 def marching_tetrahedra(
     sdf: np.ndarray,
