@@ -55,6 +55,14 @@ def _load():
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            lib.write_3dgs_splats.restype = ctypes.c_int64
+            lib.write_3dgs_splats.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ]
             _lib = lib
         except Exception:
             _load_failed = True
@@ -132,6 +140,39 @@ def write_ply_native(path, points: np.ndarray, colors: np.ndarray | None = None)
         colors = np.ascontiguousarray(colors, np.uint8).reshape(-1, 3)
     rc = lib.write_ply(str(path).encode(), _fptr(points), _u8ptr(colors), points.shape[0])
     return rc == 0
+
+
+def write_3dgs_splats_native(
+    path,
+    points_grid: np.ndarray,  # [V, H, W, 3] world points (strided grid)
+    colors_grid: np.ndarray,  # [V, H, W, 3] uint8
+    conf_grid: np.ndarray,  # [V, H, W]
+    depth_grid: np.ndarray,  # [V, H, W]
+    conf_threshold: float,
+    opacity_scale: float,
+    max_ratio: float = 8.0,
+) -> int | None:
+    """Fused anisotropic-splat PLY export (tangent frames + quats + filter +
+    serialize in one C++ pass — see pointcloud.cpp:write_3dgs_splats).
+    Returns the splat count, or None if native is absent (caller falls back
+    to the NumPy path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points_grid, np.float32)
+    cols = np.ascontiguousarray(colors_grid, np.uint8)
+    conf = np.ascontiguousarray(conf_grid, np.float32)
+    depth = np.ascontiguousarray(depth_grid, np.float32)
+    V, H, W = depth.shape
+    if pts.shape != (V, H, W, 3) or cols.shape != (V, H, W, 3):
+        return None
+    n = lib.write_3dgs_splats(
+        str(path).encode(), _fptr(pts), _u8ptr(cols), _fptr(conf),
+        _fptr(depth), V, H, W,
+        ctypes.c_float(conf_threshold), ctypes.c_float(opacity_scale),
+        ctypes.c_float(max_ratio),
+    )
+    return int(n) if n >= 0 else None
 
 
 def read_ply_native(path) -> tuple[np.ndarray, np.ndarray | None] | None:

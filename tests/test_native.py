@@ -71,6 +71,46 @@ class TestNativePly:
         np.testing.assert_array_equal(p2, pts)
         assert c2 is None
 
+    def test_3dgs_splat_writer_matches_numpy_path(self, tmp_path):
+        """The fused C++ splat exporter (write_3dgs_splats) must reproduce
+        the NumPy pipeline (_splat_frames + quats + filter + export) to
+        float32 round-off, record for record."""
+        from da3slam_tpu.inout import export3d as e3
+
+        class P:
+            pass
+
+        rng = np.random.default_rng(7)
+        N, H, W = 3, 40, 36
+        p = P()
+        p.depth = rng.uniform(0.5, 3.0, (N, H, W)).astype(np.float32)
+        p.depth[0, 5, 5] = 0.0  # filtered: non-positive depth
+        p.conf = rng.uniform(0.5, 2.0, (N, H, W)).astype(np.float32)
+        K = np.zeros((N, 3, 3), np.float32)
+        K[:, 0, 0] = K[:, 1, 1] = 30.0
+        K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = W / 2, H / 2, 1.0
+        p.intrinsics = K
+        E = np.tile(np.eye(4, dtype=np.float32)[:3], (N, 1, 1))
+        E[1, :3, 3] = [0.3, -0.1, 0.2]
+        p.extrinsics = E
+        p.processed_images = rng.integers(0, 255, (N, H, W, 3), dtype=np.uint8)
+
+        n_native = e3.prediction_to_3dgs(p, tmp_path / "n.ply", conf_threshold=1.0)
+
+        import da3slam_tpu.native as mod
+
+        lib, mod._lib, mod._load_failed = mod._lib, None, True
+        try:
+            n_py = e3.prediction_to_3dgs(p, tmp_path / "p.ply", conf_threshold=1.0)
+        finally:
+            mod._lib, mod._load_failed = lib, False
+
+        assert n_native == n_py > 0
+        a = e3.read_3dgs_ply(tmp_path / "n.ply")
+        b = e3.read_3dgs_ply(tmp_path / "p.ply")
+        for key in a:
+            np.testing.assert_allclose(a[key], b[key], atol=5e-6, err_msg=key)
+
     def test_python_reader_still_reads_native_file(self, tmp_path):
         """Format compatibility: C++-written file must parse with the pure
         Python reader (and vice versa)."""
