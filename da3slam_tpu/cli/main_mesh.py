@@ -56,6 +56,9 @@ def main(argv=None) -> None:
     fused = run_chunked_alignment(
         model, paths, args.chunk_size, overlap=1,
         process_res=args.process_res, collect_images=args.color,
+        # TSDF averaging is weighted — duplicated overlap frames would
+        # double-weight the chunk seams
+        dedup_overlap=True,
     )
 
     grid = fuse_frames(

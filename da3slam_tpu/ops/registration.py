@@ -92,6 +92,7 @@ def irls_sim3(
     max_iters: int = 5,
     min_points: int = 100,
     with_scale: bool = True,
+    tol: float | None = None,
 ) -> RegistrationResult:
     """Huber-IRLS Sim(3) alignment of corresponding points ``dst ≈ T(src)``.
 
@@ -103,6 +104,12 @@ def irls_sim3(
     identity transform when fewer than ``min_points`` carry weight
     (reference utils/align.py:154-156).  Defaults mirror configs/config1.yaml
     IRLS block (delta 0.1, max_iters 5).
+
+    ``tol`` enables the reference's convergence early-exit
+    (utils/align.py:199-213: stop when ``|Δs| + ‖ΔR‖_F + ‖Δt‖ < tol`` after
+    an update): the loop becomes a ``lax.while_loop`` that skips remaining
+    iterations once converged — same fixed shapes, fewer passes on easy
+    overlaps.  ``tol=None`` (default) keeps the fixed-count ``fori_loop``.
     """
     n = src.shape[0]
     c = jnp.ones(n, jnp.float32) if conf is None else conf.astype(jnp.float32)
@@ -111,7 +118,7 @@ def irls_sim3(
     src = jnp.where(finite[:, None], src, 0.0)
     dst = jnp.where(finite[:, None], dst, 0.0)
 
-    def body(_, T: Sim3) -> Sim3:
+    def step(T: Sim3) -> Sim3:
         pred = T.s * (src @ T.R.T) + T.t
         r = jnp.linalg.norm(dst - pred, axis=-1)
         w = c * huber_weights(r, delta)
@@ -119,7 +126,24 @@ def irls_sim3(
         return weighted_umeyama(src, dst, w, with_scale=with_scale)
 
     T0 = Sim3(jnp.asarray(1.0, jnp.float32), jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
-    T = jax.lax.fori_loop(0, max_iters, body, T0)
+    if tol is None:
+        T = jax.lax.fori_loop(0, max_iters, lambda _, T: step(T), T0)
+    else:
+        def cond(carry):
+            i, _, change = carry
+            return (i < max_iters) & (change >= tol)
+
+        def body(carry):
+            i, T, _ = carry
+            T_new = step(T)
+            change = (
+                jnp.abs(T_new.s - T.s)
+                + jnp.linalg.norm(T_new.R - T.R)
+                + jnp.linalg.norm(T_new.t - T.t)
+            )
+            return i + 1, T_new, change
+
+        _, T, _ = jax.lax.while_loop(cond, body, (0, T0, jnp.asarray(jnp.inf)))
 
     pred = T.s * (src @ T.R.T) + T.t
     r2 = jnp.sum((dst - pred) ** 2, axis=-1)

@@ -318,12 +318,32 @@ def fuse_pipeline_output(
     conf_floor: float = 1.0,
     max_weight: float = 64.0,
     margin: float = 0.05,
+    window_idx=None,  # [C, N] original-frame indices (pipeline.make_windows)
 ) -> TSDFGrid:
-    """TSDF-fuse a full SLAM pipeline run (flattens the window axis)."""
+    """TSDF-fuse a full SLAM pipeline run (flattens the window axis).
+
+    Pipeline windows overlap, so the same physical frame appears in more
+    than one window (and the re-anchored tail repeats several); fusing the
+    flat stack double-weights those observations at window seams.  Pass the
+    pipeline's ``window_idx`` to keep only each frame's first occurrence
+    (duplicate slots contribute zero weight; shapes stay static)."""
+    import numpy as np
+
     C, N = out.depth.shape[:2]
+    conf = jnp.asarray(out.conf).reshape(C * N, *out.conf.shape[2:])
+    if window_idx is not None:
+        flat = np.asarray(window_idx).reshape(-1)
+        first = np.zeros(flat.shape[0], bool)
+        seen: set[int] = set()
+        for i, f in enumerate(flat):
+            if int(f) not in seen:
+                seen.add(int(f))
+                first[i] = True
+        # conf_floor gating maps masked slots to zero fusion weight
+        conf = jnp.where(jnp.asarray(first)[:, None, None], conf, 0.0)
     return fuse_frames(
         jnp.asarray(out.depth).reshape(C * N, *out.depth.shape[2:]),
-        jnp.asarray(out.conf).reshape(C * N, *out.conf.shape[2:]),
+        conf,
         jnp.asarray(out.intrinsics).reshape(C * N, 3, 3),
         jnp.asarray(out.extrinsics_global).reshape(C * N, 3, 4),
         resolution=resolution,

@@ -51,6 +51,9 @@ class AlignmentConfig:
     method: str = "icp"  # "icp" | "irls" | "umeyama"
     irls_delta: float = 0.1  # configs/config1.yaml IRLS block
     irls_max_iters: int = 5
+    # convergence early-exit (reference configs/config1.yaml:18 `tol`,
+    # utils/align.py:199-213 semantics); None = fixed iteration count
+    irls_tol: float | None = None
     with_scale: bool = False  # SE(3)+depth-prescale (solver path) vs full Sim(3)
 
 
@@ -180,6 +183,7 @@ def align_chunk_single_overlap(
             delta=config.irls_delta,
             max_iters=config.irls_max_iters,
             with_scale=config.with_scale,
+            tol=config.irls_tol,
         )
         T, fitness, rmse = res.transform, jnp.asarray(1.0), res.rmse
     elif config.method == "umeyama":

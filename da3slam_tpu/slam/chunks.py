@@ -49,12 +49,19 @@ def run_chunked_alignment(
     align_config=None,
     collect_images: bool = False,
     verbose: bool = True,
+    dedup_overlap: bool = False,
 ):
     """The shared chunked-inference + global-alignment loop of the offline
     CLIs (main_align / main_3dgs / main_mesh): run the model per chunk,
     chain each chunk into the global frame via single-overlap alignment,
     and return the concatenated arrays (overlap frames appear once per
     chunk, like the reference's per-chunk exports).
+
+    ``dedup_overlap=True`` drops each non-initial chunk's leading overlap
+    frames (``anchor + 1`` of them — more than ``overlap`` for the widened
+    tail) before concatenation, so every physical frame appears exactly
+    once.  Weighted consumers (TSDF fusion) want this: duplicated overlap
+    observations double-weight chunk seams in the running average.
 
     The tail chunk is re-anchored to keep the full chunk size
     (:func:`make_chunk_indices`), which widens its overlap with its
@@ -80,6 +87,7 @@ def run_chunked_alignment(
     prev_overlap = None
     for k, (a, b) in enumerate(ranges):
         cur = model.inference(image=list(paths[a:b]), process_res=process_res)
+        anchor = -1
         if k == 0:
             ext_global = np.asarray(cur.extrinsics, np.float32)
         else:
@@ -98,12 +106,15 @@ def run_chunked_alignment(
             )
             ext_global = np.asarray(out.extrinsics_global, np.float32)
             cur.depth = np.asarray(out.depth_scaled)
-        depths.append(np.asarray(cur.depth))
-        confs.append(np.asarray(cur.conf))
-        Ks.append(np.asarray(cur.intrinsics))
-        Es.append(ext_global)
+        # first frame kept of this chunk (dedup drops the frames already
+        # contributed by the previous chunk, incl. the widened tail overlap)
+        s = anchor + 1 if dedup_overlap else 0
+        depths.append(np.asarray(cur.depth)[s:])
+        confs.append(np.asarray(cur.conf)[s:])
+        Ks.append(np.asarray(cur.intrinsics)[s:])
+        Es.append(ext_global[s:])
         if collect_images:
-            imgs.append(np.asarray(cur.processed_images))
+            imgs.append(np.asarray(cur.processed_images)[s:])
         prev, prev_overlap = cur, ext_global[-1]
         if verbose:
             print(f"chunk {k + 1}/{len(ranges)} done")

@@ -218,6 +218,7 @@ def loop_sim3_from_joint_prediction(
     joint_prediction,
     irls_delta: float = 0.1,
     irls_iters: int = 10,
+    irls_tol: float | None = None,
 ) -> LoopConstraint:
     """Register two stored chunks through one joint model prediction.
 
@@ -251,11 +252,11 @@ def loop_sim3_from_joint_prediction(
         med = jnp.median(conf)
         conf = jnp.where(conf > 0.1 * med, conf, 0.0)
         fwd = irls_sim3(pts_chunk, pts_joint, conf=conf,
-                        delta=irls_delta, max_iters=irls_iters)
+                        delta=irls_delta, max_iters=irls_iters, tol=irls_tol)
         # reciprocal consistency: the reverse registration must invert the
         # forward one; disagreement means the fit is not geometrically stable
         bwd = irls_sim3(pts_joint, pts_chunk, conf=conf,
-                        delta=irls_delta, max_iters=irls_iters)
+                        delta=irls_delta, max_iters=irls_iters, tol=irls_tol)
         recip = _chart_norm(sim3_compose(fwd.transform, bwd.transform))
         return fwd.transform, float(fwd.rmse), int(fwd.n_effective), recip
 

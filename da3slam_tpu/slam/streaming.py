@@ -83,6 +83,9 @@ class DA3Streaming:
         icfg = config.get("IRLS", {}) or {}
         self.irls_delta = icfg.get("delta", 0.1)
         self.irls_iters = icfg.get("max_iters", 5)
+        # convergence early-exit (reference configs/config1.yaml:18 `tol`;
+        # None keeps the fixed-count loop)
+        self.irls_tol = icfg.get("tol")
         loop_cfg = config.get("Loop", {}) or {}
         lcfg = loop_cfg.get("SIM3_Optimizer", {}) or {}
         self.loop_max_iterations = lcfg.get("max_iterations", 30)
@@ -234,6 +237,7 @@ class DA3Streaming:
         res = irls_sim3(
             pts_cur, pts_prev, conf=conf,
             delta=self.irls_delta, max_iters=self.irls_iters,
+            tol=self.irls_tol,
         )
         print(f"  sim3: s={float(res.transform.s):.4f} rmse={float(res.rmse):.5f} "
               f"n_eff={int(res.n_effective)}")
@@ -274,6 +278,7 @@ class DA3Streaming:
             lc = loop_sim3_from_joint_prediction(
                 chunk_a, chunk_b, joint,
                 irls_delta=self.irls_delta, irls_iters=max(self.irls_iters, 10),
+                irls_tol=self.irls_tol,
             )
             if not gate_loop_constraint(
                 lc,
@@ -362,9 +367,14 @@ class DA3Streaming:
             )
             self._save_confident_pointcloud(k, pts_aligned, chunk)
             if self.export_mesh:
-                # scene bounds for the TSDF mesh (~10k-point strided sample)
-                n_pts = pts_aligned.size // 3
-                samp = pts_aligned.reshape(-1, 3)[:: max(n_pts // 10000, 1)]
+                # scene bounds for the TSDF mesh (~10k-point strided sample),
+                # gated by the same confidence threshold as the exported
+                # cloud — unfiltered low-conf outliers inflate the quantile
+                # box and coarsen the effective voxel size
+                conf_flat = np.asarray(chunk["conf"]).reshape(-1)
+                confident = conf_flat > conf_flat.mean() * self.conf_threshold_coef
+                flat = pts_aligned.reshape(-1, 3)[confident]
+                samp = flat[:: max(flat.shape[0] // 10000, 1)]
                 ok = np.isfinite(samp).all(axis=1)
                 if ok.any():
                     self._mesh_bounds.append((

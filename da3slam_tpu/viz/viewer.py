@@ -232,25 +232,38 @@ class SLAMViewer:
     # -- mesh overlay --------------------------------------------------------
     def set_mesh(self, vertices, faces, colors=None) -> None:
         """Show (or replace) a fused TSDF mesh (inout/mesh.py) alongside the
-        per-frame clouds.  ``colors`` may be per-vertex uint8; viser's
-        simple-mesh API takes one color, so the mean is used there while
-        full per-vertex colors stay in the exported PLY."""
+        per-frame clouds.  Per-vertex ``colors`` (uint8) render as such when
+        the viser build exposes a vertex-color mesh API (``scene.add_mesh``);
+        older builds only take one color per mesh (``add_mesh_simple``), so
+        the mean color is used there — the exported PLY always keeps the
+        full per-vertex colors either way."""
         import numpy as _np
 
+        verts = _np.asarray(vertices, _np.float32)
+        tris = _np.asarray(faces, _np.int32)
         with self._lock:
             if getattr(self, "_mesh_handle", None) is not None:
                 self._mesh_handle.remove()
-            color = (
-                tuple(int(c) for c in _np.asarray(colors).reshape(-1, 3).mean(0))
-                if colors is not None
-                else (160, 160, 170)
-            )
-            self._mesh_handle = self.server.scene.add_mesh_simple(
-                "/scene_mesh",
-                vertices=_np.asarray(vertices, _np.float32),
-                faces=_np.asarray(faces, _np.int32),
-                color=color,
-            )
+            handle = None
+            add_mesh = getattr(self.server.scene, "add_mesh", None)
+            if colors is not None and add_mesh is not None:
+                try:
+                    handle = add_mesh(
+                        "/scene_mesh", vertices=verts, faces=tris,
+                        colors=_np.asarray(colors, _np.uint8).reshape(-1, 3),
+                    )
+                except TypeError:  # older signature without per-vertex colors
+                    handle = None
+            if handle is None:
+                color = (
+                    tuple(int(c) for c in _np.asarray(colors).reshape(-1, 3).mean(0))
+                    if colors is not None
+                    else (160, 160, 170)
+                )
+                handle = self.server.scene.add_mesh_simple(
+                    "/scene_mesh", vertices=verts, faces=tris, color=color,
+                )
+            self._mesh_handle = handle
 
     # -- demo mode ---------------------------------------------------------
     def run_demo_flythrough(

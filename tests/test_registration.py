@@ -116,6 +116,39 @@ class TestIRLS:
         np.testing.assert_allclose(np.asarray(res.transform.R), np.eye(3))
         np.testing.assert_allclose(np.asarray(res.transform.t), np.zeros(3))
 
+    def test_tol_early_exit_matches_reference_semantics(self):
+        """configs/config1.yaml's IRLS `tol` is honored: the while_loop path
+        stops once |Δs| + ‖ΔR‖ + ‖Δt‖ < tol (reference utils/align.py:199-213)
+        — a huge tol stops after the first update (= max_iters=1), a tiny
+        tol runs all iterations (= the fixed fori_loop path)."""
+        rng = np.random.default_rng(11)
+        T = random_sim3(rng, t_spread=0.5)
+        src = rng.normal(size=(400, 3)).astype(np.float32)
+        dst = np.asarray(sim3_apply(T, jnp.asarray(src))).copy()
+        idx = rng.choice(400, 80, replace=False)
+        dst[idx] += rng.normal(size=(80, 3)) * 5.0
+        src, dst = jnp.asarray(src), jnp.asarray(dst)
+
+        one_iter = irls_sim3(src, dst, max_iters=1, delta=0.1)
+        huge_tol = irls_sim3(src, dst, max_iters=10, delta=0.1, tol=1e9)
+        # tol checked AFTER the update: the first iteration always runs
+        np.testing.assert_allclose(
+            np.asarray(huge_tol.transform.t), np.asarray(one_iter.transform.t),
+            atol=1e-6,
+        )
+
+        fixed = irls_sim3(src, dst, max_iters=10, delta=0.1)
+        tiny_tol = irls_sim3(src, dst, max_iters=10, delta=0.1, tol=1e-30)
+        np.testing.assert_allclose(
+            np.asarray(tiny_tol.transform.t), np.asarray(fixed.transform.t),
+            atol=1e-6,
+        )
+        # and the converged result still recovers the transform under jit
+        jitted = jax.jit(
+            lambda s, d: irls_sim3(s, d, max_iters=10, delta=0.1, tol=1e-9)
+        )(src, dst)
+        assert_sim3_close(jitted.transform, T, s_tol=0.02, R_tol=0.02, t_tol=0.05)
+
     def test_nonfinite_points_dropped(self):
         rng = np.random.default_rng(8)
         T = random_sim3(rng)

@@ -269,3 +269,41 @@ class TestChunkedAlignmentHelper:
                 c2w_full[idx] = np.linalg.inv(M)
             pos += b - a
         assert ate_rmse(c2w_full, gt_c2w(poses)) < 0.05
+
+    def test_dedup_overlap_yields_each_frame_once(self, tmp_path):
+        """dedup_overlap=True drops each non-initial chunk's leading overlap
+        frames (incl. the widened tail overlap), so the concatenated stack
+        has exactly one entry per physical frame, in order — what TSDF
+        fusion wants (duplicates double-weight chunk seams)."""
+        from da3slam_tpu.slam.chunks import run_chunked_alignment
+
+        n = 9  # ranges (0,4),(3,7),(5,9): dups at frames 3 and 5,6
+        poses = make_trajectory(n)
+        model = FakeDA3(poses, chunk_scales=[1.0, 0.8, 1.1])
+        image_dir = make_fake_image_dir(tmp_path, n)
+        from da3slam_tpu.inout import load_image_paths
+
+        paths = load_image_paths(image_dir)
+        full = run_chunked_alignment(model, paths, chunk_size=4, overlap=1,
+                                     process_res=64, verbose=False)
+        # fresh model: FakeDA3 consumes chunk_scales per inference call
+        model2 = FakeDA3(poses, chunk_scales=[1.0, 0.8, 1.1])
+        dedup = run_chunked_alignment(model2, paths, chunk_size=4, overlap=1,
+                                      process_res=64, verbose=False,
+                                      dedup_overlap=True)
+        assert dedup["depth"].shape[0] == n
+        assert full["depth"].shape[0] == 4 + 4 + 4  # overlaps duplicated
+        # the kept frames are the FIRST occurrence of each physical frame
+        first_idx = []
+        seen = set()
+        pos = 0
+        for (a, b) in full["ranges"]:
+            for idx in range(a, b):
+                if idx not in seen:
+                    seen.add(idx)
+                    first_idx.append(pos)
+                pos += 1
+        np.testing.assert_allclose(
+            dedup["extrinsics_global"], full["extrinsics_global"][first_idx]
+        )
+        np.testing.assert_allclose(dedup["depth"], full["depth"][first_idx])

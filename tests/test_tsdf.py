@@ -116,6 +116,44 @@ class TestTSDFIntegrate:
         assert w.max() <= 3.0 + 1e-6
         assert w.max() == pytest.approx(3.0)
 
+    def test_fuse_pipeline_output_dedups_window_overlap(self):
+        """With window_idx given, duplicated overlap slots contribute zero
+        weight: fusing [C=2, N=3] windows sharing one frame must equal
+        fusing the 5 unique frames once each."""
+        from types import SimpleNamespace
+
+        from da3slam_tpu.ops.tsdf import fuse_frames, fuse_pipeline_output
+
+        depth, conf, K, E = self._plane_frame(d=2.0)
+        # identical depths (so the bounds estimate is composition-invariant
+        # and both fusions share one grid); per-frame confs make the fused
+        # weights sensitive to the duplicated slot
+        depths = np.repeat(depth[None], 5, 0)
+        confs = np.stack([conf * (1.0 + 0.1 * i) for i in range(5)]) + 1.0
+        Ks = np.repeat(K[None], 5, 0)
+        Es = np.repeat(E[None], 5, 0)
+        window_idx = np.array([[0, 1, 2], [2, 3, 4]])  # frame 2 duplicated
+
+        out = SimpleNamespace(
+            depth=depths[window_idx.reshape(-1)].reshape(2, 3, *depth.shape),
+            conf=confs[window_idx.reshape(-1)].reshape(2, 3, *conf.shape),
+            intrinsics=Ks[window_idx.reshape(-1)].reshape(2, 3, 3, 3),
+            extrinsics_global=Es[window_idx.reshape(-1)].reshape(2, 3, 3, 4),
+        )
+        fused = fuse_pipeline_output(out, resolution=24, window_idx=window_idx)
+        oracle = fuse_frames(depths, confs, Ks, Es, resolution=24)
+        np.testing.assert_allclose(
+            np.asarray(fused.sdf), np.asarray(oracle.sdf), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.weight), np.asarray(oracle.weight), atol=1e-5
+        )
+        # without window_idx the duplicate frame double-weights its surface
+        doubled = fuse_pipeline_output(out, resolution=24)
+        assert not np.allclose(
+            np.asarray(doubled.weight), np.asarray(oracle.weight), atol=1e-5
+        )
+
     def test_fuse_frames_and_mesh_recovers_plane(self):
         """Multi-view fusion of an analytic plane → mesh on that plane."""
         hw = (32, 40)

@@ -67,6 +67,11 @@ class _Scene:
         self.meshes.append(m)
         return m
 
+    def add_mesh(self, name, vertices, faces, colors):
+        m = _Cloud(name=name, vertices=vertices, faces=faces, colors=colors)
+        self.meshes.append(m)
+        return m
+
     def add_point_cloud(self, name, points, colors, point_size):
         c = _Cloud(name=name, points=points, colors=colors, point_size=point_size)
         self.clouds.append(c)
@@ -222,9 +227,27 @@ class TestMeshOverlay:
         v = viewer_cls(port=0)
         verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
         faces = np.array([[0, 1, 2]], np.int64)
-        v.set_mesh(verts, faces, colors=np.full((3, 3), 200, np.uint8))
+        cols = np.stack([[200, 0, 0], [0, 200, 0], [0, 0, 200]]).astype(np.uint8)
+        v.set_mesh(verts, faces, colors=cols)
         first = v.server.scene.meshes[-1]
-        assert first.vertices.shape == (3, 3) and first.color == (200, 200, 200)
+        # per-vertex colors survive when the server exposes add_mesh
+        assert first.vertices.shape == (3, 3)
+        np.testing.assert_array_equal(first.colors, cols)
         v.set_mesh(verts * 2, faces)
         assert first.removed
         assert v.server.scene.meshes[-1].vertices[1, 0] == 2.0
+        # a colorless mesh takes the simple-mesh path (single color)
+        assert v.server.scene.meshes[-1].color == (160, 160, 170)
+
+    def test_set_mesh_falls_back_without_vertex_color_api(self, viewer_cls):
+        v = viewer_cls(port=0)
+        scene_cls = type(v.server.scene)
+        saved = scene_cls.add_mesh
+        del scene_cls.add_mesh  # older viser: simple mesh only
+        try:
+            verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+            faces = np.array([[0, 1, 2]], np.int64)
+            v.set_mesh(verts, faces, colors=np.full((3, 3), 200, np.uint8))
+            assert v.server.scene.meshes[-1].color == (200, 200, 200)
+        finally:
+            scene_cls.add_mesh = saved
