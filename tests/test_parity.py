@@ -120,6 +120,103 @@ class TestHarnessSelfParity:
             load_mini_npz(p)
 
 
+class TestParityCLI:
+    """End-to-end CLI rehearsal with synthetic TORCH-LAYOUT checkpoints: the
+    exact flow of a day-one real-checkpoint drop (checkpoint dir → cli/parity
+    → exit code), so refactors can't silently break the mounting path.
+
+    The golden is computed INDEPENDENTLY of the checkpoint load: the forward
+    runs on the original in-memory params, while the CLI must reconstruct the
+    same params from the serialized torch-style state dict (name map, layout
+    transposes, config.json round-trip) to pass."""
+
+    def _make_case(self, tmp_path, variant):
+        import dataclasses
+        import json
+
+        from safetensors.numpy import save_file
+
+        import jax
+
+        from da3slam_tpu.models import get_preset
+        from da3slam_tpu.models.da3 import init_params
+        from da3slam_tpu.models.torch_import import export_torch_style
+
+        cfg = get_preset("tiny")
+        if variant == "swiglu":  # the giant tier's FFN flavour
+            cfg = cfg.with_overrides(mlp_type="swiglu")
+        params = init_params(jax.random.PRNGKey(3), cfg)
+        sd = export_torch_style(params)
+        if variant == "prefixed":  # DINOv2 nested under 'backbone.', alt head names
+            head_prefixes = ("depth_head.", "camera_head.")
+            sd = {
+                (k if k.startswith(head_prefixes) else f"backbone.{k}"): v
+                for k, v in sd.items()
+            }
+            sd = {
+                k.replace("depth_head.", "head.").replace("camera_head.", "cam_head."): v
+                for k, v in sd.items()
+            }
+
+        ckpt = tmp_path / "checkpoint"
+        ckpt.mkdir()
+        (ckpt / "config.json").write_text(json.dumps(dataclasses.asdict(cfg)))
+        if variant == "torch_bin":
+            import torch
+
+            torch.save({k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()},
+                       ckpt / "pytorch_model.bin")
+        else:
+            save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+                      str(ckpt / "model.safetensors"))
+
+        # independent golden: forward on the ORIGINAL params (no checkpoint IO)
+        model = DepthAnything3(cfg, params)
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 255, (2, 56, 56, 3)).astype(np.uint8)
+        pred = model.inference(image=list(imgs), process_res=56)
+        golden = tmp_path / "golden_000.npz"
+        np.savez(
+            golden,
+            processed_images=np.asarray(pred.processed_images),
+            depth=np.asarray(pred.depth),
+            conf=np.asarray(pred.conf),
+            extrinsics=np.asarray(pred.extrinsics),
+            intrinsics=np.asarray(pred.intrinsics),
+        )
+        return ckpt, golden
+
+    @pytest.mark.parametrize("variant", ["plain", "swiglu", "prefixed", "torch_bin"])
+    def test_cli_passes_on_faithful_checkpoint(self, tmp_path, variant):
+        from da3slam_tpu.cli.parity import main as parity_main
+
+        ckpt, golden = self._make_case(tmp_path, variant)
+        rc = parity_main(["--checkpoint", str(ckpt), "--golden", str(golden)])
+        assert rc == 0
+
+    def test_cli_fails_on_corrupted_weights(self, tmp_path):
+        """A perturbed tensor must flip the exit code — proof the comparison
+        has teeth at CLI level (not just that loading didn't crash)."""
+        from safetensors.numpy import load_file, save_file
+
+        from da3slam_tpu.cli.parity import main as parity_main
+
+        ckpt, golden = self._make_case(tmp_path, "plain")
+        f = str(ckpt / "model.safetensors")
+        sd = dict(load_file(f))
+        key = "patch_embed.proj.weight"
+        sd[key] = sd[key] + np.float32(1.0)
+        save_file(sd, f)
+        rc = parity_main(["--checkpoint", str(ckpt), "--golden", str(golden)])
+        assert rc == 1
+
+    def test_cli_reports_missing_data(self, tmp_path, monkeypatch):
+        from da3slam_tpu.cli.parity import main as parity_main
+
+        monkeypatch.setenv("DA3_PARITY_DIR", str(tmp_path / "nope"))
+        assert parity_main([]) == 2
+
+
 @pytest.mark.skipif(
     find_parity_dir() is None,
     reason="no reference parity data (drop checkpoint/ + golden/*.npz under "
