@@ -64,6 +64,19 @@ class SLAMSolver:
             self.prefetch = isinstance(self.model, DepthAnything3)
         self.viewer = self._init_viewer() if viewer == "auto" else viewer
 
+        # optional ONLINE loop closure (off by default — the capability the
+        # reference shipped disabled and offline-only,
+        # utils/da3_streaming.py:589-624; see slam/online_loop.py)
+        self.loop_closer = None
+        loop_cfg = config.get("Loop", {}) or {}
+        if loop_cfg.get("enable", False):
+            from da3slam_tpu.slam.online_loop import OnlineLoopCloser
+
+            self.loop_closer = OnlineLoopCloser(
+                self.model, loop_cfg,
+                inference_kwargs={"process_res_method": "upper_bound_resize"},
+            )
+
         from da3slam_tpu.utils import StageTimer
 
         self.timer = StageTimer(sync=False)  # results are numpy already
@@ -112,7 +125,7 @@ class SLAMSolver:
             image=image,
             process_res_method="upper_bound_resize",
         )
-        return {
+        out = {
             "chunk_idx": self.chunk_count,
             "image_paths": chunk_image_paths,
             "processed_images": np.asarray(pred.processed_images),
@@ -121,6 +134,10 @@ class SLAMSolver:
             "extrinsics": np.asarray(pred.extrinsics),
             "intrinsics": np.asarray(pred.intrinsics),
         }
+        fd = getattr(pred, "frame_desc", None)
+        if fd is not None:
+            out["frame_desc"] = np.asarray(fd, np.float32)
+        return out
 
     # -- alignment ---------------------------------------------------------
     def process_chunk_alignment(self, prev: Dict, cur: Dict, anchor_idx: int | None = None):
@@ -154,6 +171,29 @@ class SLAMSolver:
             float(out.inlier_rmse),
         )
 
+    # -- online loop closure -------------------------------------------------
+    def _loop_stage(self, cur: Dict, new_start: int, depth_scale: float) -> None:
+        """Enroll the chunk, detect/gate loops, and on a new gated edge
+        re-anchor the whole trajectory-so-far from the optimised pose graph
+        (slam/online_loop.py).  The carry (previous overlap frame's global
+        pose) is re-anchored too, so every FUTURE chunk chains from the
+        corrected trajectory — already-sent viewer frames keep their
+        pre-closure poses until the next refresh."""
+        self.loop_closer.add_chunk(
+            cur, new_start, frame_desc=cur.get("frame_desc"),
+            depth_scale=depth_scale,
+        )
+        updated = self.loop_closer.maybe_close(
+            [r["extrinsics_global"] for r in self.results]
+        )
+        if updated is None:
+            return
+        for r, E in zip(self.results, updated):
+            r["extrinsics_global"] = E
+        cur["extrinsics_global"] = updated[-1]
+        self.prev_overlap_aligned_3x4 = np.asarray(updated[-1][-1], np.float32)
+        print(f"  [loop] trajectory re-anchored over {len(updated)} chunks")
+
     # -- viewer ------------------------------------------------------------
     def update_viewer(self, chunk_prediction: Dict, start: int = 0) -> None:
         if self.viewer is None:
@@ -182,6 +222,7 @@ class SLAMSolver:
         with self.timer("inference"):
             cur = self.run_single_chunk_prediction(chunk_paths)
 
+        depth_scale = 1.0
         if self.chunk_count == 0:
             # first chunk defines the global frame (solver.py:206-211)
             cur["extrinsics_global"] = cur["extrinsics"].astype(np.float64)
@@ -191,6 +232,7 @@ class SLAMSolver:
                 s, R, t, fitness, rmse = self.process_chunk_alignment(
                     self.prev_chunk_prediction, cur
                 )
+            depth_scale = s
             print(
                 f"  chunk {self.chunk_count}: depth_scale={s:.4f} "
                 f"fitness={fitness:.4f} inlier_rmse={rmse:.5f}"
@@ -207,6 +249,9 @@ class SLAMSolver:
                 "dedup_skip": 0 if self.chunk_count == 0 else self.overlap_size,
             }
         )
+        if self.loop_closer is not None:
+            with self.timer("loop"):
+                self._loop_stage(cur, self.results[-1]["dedup_skip"], depth_scale)
         with self.timer("viewer"):
             self.update_viewer(cur, start=self.results[-1]["dedup_skip"])
         self.prev_chunk_prediction = cur
@@ -234,6 +279,7 @@ class SLAMSolver:
         if n_new <= 0:
             return
 
+        depth_scale = 1.0
         if self.chunk_count == 0:
             # fewer frames than one chunk: run them all as chunk 0
             chunk_paths = list(image_paths)
@@ -256,6 +302,7 @@ class SLAMSolver:
                 s, _R, _t, fitness, rmse = self.process_chunk_alignment(
                     self.prev_chunk_prediction, cur, anchor_idx=anchor_idx
                 )
+            depth_scale = s
             print(
                 f"  tail chunk ({n_new} new frames): depth_scale={s:.4f} "
                 f"fitness={fitness:.4f} inlier_rmse={rmse:.5f}"
@@ -271,6 +318,9 @@ class SLAMSolver:
                 "dedup_skip": dedup_skip,
             }
         )
+        if self.loop_closer is not None:
+            with self.timer("loop"):
+                self._loop_stage(cur, dedup_skip, depth_scale)
         with self.timer("viewer"):
             self.update_viewer(cur, start=dedup_skip)
         self.prev_chunk_prediction = cur

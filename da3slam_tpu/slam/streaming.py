@@ -373,6 +373,10 @@ class DA3Streaming:
                 # box and coarsen the effective voxel size
                 conf_flat = np.asarray(chunk["conf"]).reshape(-1)
                 confident = conf_flat > conf_flat.mean() * self.conf_threshold_coef
+                if not confident.any():
+                    # uniform-confidence chunks empty the strict gate (mean
+                    # == every value) — fall back to the ungated cloud
+                    confident = np.ones_like(confident)
                 flat = pts_aligned.reshape(-1, 3)[confident]
                 samp = flat[:: max(flat.shape[0] // 10000, 1)]
                 ok = np.isfinite(samp).all(axis=1)
