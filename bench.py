@@ -26,9 +26,14 @@ JSON line per metric, headline first:
   flash_attn_tflops      — flash-attention kernel TF/s at the SLAM hot
                            shape (vs_baseline = fraction of the D=64
                            speed-of-light on a v5e)
-  tsdf_fusion_fps        — TSDF volumetric fusion (ops/tsdf.py) of every
-                           pipeline frame into a 192-voxel grid, frames/s
-                           (the volumetric backend the reference lacks)
+  tsdf_fusion_fps        — TSDF volumetric fusion (ops/tsdf.py): 112
+                           GT-posed 504x504 depth frames (box-orbit
+                           synthetic scene, true 3D extent) into a
+                           192-voxel grid via the block-sparse path,
+                           frames/s (volumetric backend the reference
+                           lacks).  _dense_fps = the every-voxel path on
+                           the same scene; _4m_fps = sparse at a ~4M-voxel
+                           grid (resolution 208)
   synthetic_ate_rmse     — correctness: SLAMSolver on the textured synthetic
                            ground-truth world (per-chunk scale ambiguity +
                            noise), ATE in world units (lower is better)
@@ -301,43 +306,82 @@ def bench_align_export(model, frames_dev, hw, tmp_dir) -> float:
     return (2 * n - 1) / best
 
 
-def bench_tsdf_fusion(model, frames_dev, hw, n_reps=3) -> float:
-    """TSDF volumetric fusion throughput (ops/tsdf.py): run the SLAM
-    pipeline once (compile already cached by the headline metric), then
-    time integrating every frame's depth into a 192-voxel grid — the
-    volumetric backend the reference lacks (it only concatenates point
-    clouds).  Frames/s over the fusion scan alone."""
+_TSDF_SCENE: dict = {}
+
+
+def _tsdf_scene(hw=(504, 504), n_frames=112):
+    """Shared TSDF bench scene: ground-truth-rendered posed depth of an
+    orbit inside the closed-box synthetic room (full 360° yaw sweep →
+    true 3D grid extent).  Fusion's production input is a trained model's
+    coherent depth; the r3 bench fused random-init network output whose
+    depth spans ~21 orders of magnitude — no surface exists in that data,
+    so neither quality nor sparsity is meaningful on it."""
+    if _TSDF_SCENE:
+        return _TSDF_SCENE["scene"]
     import jax
     import jax.numpy as jnp
 
+    from da3slam_tpu.utils.synthetic import (
+        BOX_PLANES,
+        default_intrinsics,
+        make_orbit_trajectory,
+        render_depth,
+    )
+
+    K1 = default_intrinsics(hw)
+    poses = make_orbit_trajectory(n_frames)
+    depth = np.stack(
+        [render_depth(E, K1, hw, planes=BOX_PLANES) for E in poses]
+    ).astype(np.float32)
+    conf = np.ones(depth.shape, np.float32)
+    Ks = np.repeat(K1[None], n_frames, 0).astype(np.float32)
+    scene = tuple(
+        jnp.asarray(a) for a in (depth, conf, Ks, poses.astype(np.float32))
+    )
+    jax.block_until_ready(scene[0])
+    _TSDF_SCENE["scene"] = scene
+    return scene
+
+
+def bench_tsdf_fusion(mode="sparse", resolution=192, n_reps=3) -> float:
+    """TSDF volumetric fusion throughput (ops/tsdf.py) — the volumetric
+    backend the reference lacks (it only concatenates point clouds).
+    Frames/s integrating every scene frame into a ``resolution`` grid.
+
+    mode="sparse": the production block-sparse path
+    (integrate_frames_sparse), block budget auto-sized once at warmup
+    (scene-sized, like a voxel-hash table) and reused in the timed loop.
+    mode="dense": every-voxel update (integrate_frames), the r3 metric's
+    code path."""
     from da3slam_tpu.ops.tsdf import (
         estimate_bounds,
         grid_from_bounds,
         integrate_frames,
+        integrate_frames_sparse,
     )
-    from da3slam_tpu.slam.pipeline import run_streaming_slam
 
-    out = run_streaming_slam(
-        model.params, frames_dev, model.cfg,
-        chunk_size=16, overlap=1, process_hw=hw, segment_spill="device",
-    )
-    C, N = out.depth.shape[:2]
-    depth = jnp.asarray(out.depth).reshape(C * N, *out.depth.shape[2:])
-    conf = jnp.maximum(jnp.asarray(out.conf).reshape(C * N, *out.conf.shape[2:]) - 1.0, 0.0)
-    K = jnp.asarray(out.intrinsics).reshape(C * N, 3, 3)
-    E = jnp.asarray(out.extrinsics_global).reshape(C * N, 3, 4)
-    jax.block_until_ready(depth)
+    depth, conf, K, E = _tsdf_scene()
+    n = depth.shape[0]
+    lo, hi = estimate_bounds(depth[:16], K[:16], E[:16],
+                             resolution=resolution)
+    grid0 = grid_from_bounds(lo, hi, resolution)
 
-    # bounds once (host quantiles); the timed loop is the device fusion scan
-    lo, hi = estimate_bounds(depth[:8], K[:8], E[:8], resolution=192)
-    grid0 = grid_from_bounds(lo, hi, 192)
-    g = integrate_frames(grid0, depth, conf, K, E)
+    if mode == "dense":
+        run = lambda: integrate_frames(grid0, depth, conf, K, E)  # noqa: E731
+        g = run()
+    else:
+        _, counts = integrate_frames_sparse(
+            grid0, depth, conf, K, E, active_blocks=128, batch=16)
+        budget = -(-(int(counts.max()) + 1) // 128) * 128
+        run = lambda: integrate_frames_sparse(  # noqa: E731
+            grid0, depth, conf, K, E, active_blocks=budget, batch=16)[0]
+        g = run()
     _force(g.sdf[0, 0, -8:])
     t0 = time.perf_counter()
     for _ in range(n_reps):
-        g = integrate_frames(grid0, depth, conf, K, E)
+        g = run()
     _force(g.sdf[0, 0, -8:])
-    return depth.shape[0] * n_reps / (time.perf_counter() - t0)
+    return n * n_reps / (time.perf_counter() - t0)
 
 
 def bench_synthetic_ate() -> float:
@@ -453,7 +497,13 @@ def main() -> None:
             # vs the D=64 speed-of-light: 50% of a v5e's 197 TF/s bf16 peak
             lambda v: v / 98.5)
     guarded("tsdf_fusion_fps", "frames/s",
-            lambda: bench_tsdf_fusion(small, frames_dev, hw),
+            lambda: bench_tsdf_fusion("sparse"),
+            lambda v: v / BASELINE_FPS)
+    guarded("tsdf_fusion_dense_fps", "frames/s",
+            lambda: bench_tsdf_fusion("dense"),
+            lambda v: v / BASELINE_FPS)
+    guarded("tsdf_fusion_4m_fps", "frames/s",
+            lambda: bench_tsdf_fusion("sparse", resolution=208),
             lambda v: v / BASELINE_FPS)
     guarded("synthetic_ate_rmse", "world-units",
             bench_synthetic_ate, lambda v: ATE_BOUND / max(v, 1e-9))

@@ -20,5 +20,6 @@ from da3slam_tpu.ops.tsdf import (  # noqa: F401
     fuse_frames,
     fuse_pipeline_output,
     integrate_frames,
+    integrate_frames_sparse,
     make_grid,
 )

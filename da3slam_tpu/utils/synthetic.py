@@ -26,24 +26,64 @@ PLANES = [
     (np.array([0.0, 0.0, 1.0]), 4.0),
 ]
 
+# The corner room closed into a box ([-2,2] x [-2,2] x [-2,4]): every ray
+# from an interior camera hits a wall, so ORBIT trajectories (full yaw
+# sweeps) render finite depth in all directions — the full-3D-extent scene
+# the TSDF benchmarks fuse.  A superset of PLANES: corner-facing cameras
+# see identical depth (the extra walls are behind them).
+BOX_PLANES = PLANES + [
+    (np.array([-1.0, 0.0, 0.0]), 2.0),
+    (np.array([0.0, -1.0, 0.0]), 2.0),
+    (np.array([0.0, 0.0, -1.0]), 2.0),
+]
 
-def render_depth(E_w2c: np.ndarray, K: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
-    """Closed-form depth of the corner room from pose ``E_w2c`` ([3,4])."""
+
+def render_depth(
+    E_w2c: np.ndarray,
+    K: np.ndarray,
+    hw: tuple[int, int],
+    planes=None,
+) -> np.ndarray:
+    """Closed-form depth of the corner room (or ``planes``) from ``E_w2c``."""
     H, W = hw
     R, t = E_w2c[:3, :3], E_w2c[:3, 3]
     v, u = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     rays = np.stack([(u - K[0, 2]) / K[0, 0], (v - K[1, 2]) / K[1, 1], np.ones_like(u, float)], -1)
     depth = np.full((H, W), np.inf)
     Rt_t = R.T @ t
-    for n, c in PLANES:
+    for n, c in PLANES if planes is None else planes:
         denom = rays @ (R @ n)  # n^T R^T r
         num = c + n @ Rt_t
         with np.errstate(divide="ignore", invalid="ignore"):
             z = num / denom
         z = np.where(z > 0.05, z, np.inf)
         depth = np.minimum(depth, z)
-    assert np.isfinite(depth).all(), "camera must face the corner"
+    assert np.isfinite(depth).all(), "camera must face a wall in every pixel"
     return depth.astype(np.float32)
+
+
+def make_orbit_trajectory(n_frames: int, seed: int = 0) -> np.ndarray:
+    """w2c trajectory orbiting inside the BOX_PLANES room: a full 360°
+    yaw sweep on a small circle, gentle bobbing — every wall gets seen,
+    so the fused scene has true 3D extent (unlike make_trajectory, whose
+    corner-facing frames bound a quasi-planar shell)."""
+    poses = []
+    up = np.array([0.0, 1.0, 0.0])
+    for i in range(n_frames):
+        th = 2.0 * np.pi * i / max(n_frames, 1)
+        look = np.array([np.sin(th), 0.25 * np.sin(2 * th), np.cos(th)])
+        look = look / np.linalg.norm(look)
+        center = np.array(
+            [0.5 * np.cos(th), 0.3 * np.sin(th), 1.0 + 0.5 * np.sin(th)]
+        )
+        zc = look
+        xc = np.cross(up, zc)
+        xc = xc / np.linalg.norm(xc)
+        yc = np.cross(zc, xc)
+        R = np.stack([xc, yc, zc], axis=0)  # world→camera rows
+        t = -R @ center
+        poses.append(np.concatenate([R, t[:, None]], axis=1))
+    return np.stack(poses).astype(np.float64)
 
 
 def render_hit_points(

@@ -204,6 +204,145 @@ class TestTSDFIntegrate:
         assert np.quantile(dists, 0.95) < 1.5 * voxel
 
 
+class TestSparseFusion:
+    """Block-sparse band-only fusion (ops/tsdf.py integrate_frames_sparse):
+    the dense ``integrate(band_only=True)`` sequence is the exact oracle."""
+
+    def _frames(self, n=4, hw=(32, 40)):
+        from da3slam_tpu.utils.synthetic import (
+            default_intrinsics, make_trajectory, render_depth,
+        )
+
+        K = default_intrinsics(hw)
+        poses = make_trajectory(n)
+        depth = np.stack([render_depth(E, K, hw) for E in poses])
+        rng = np.random.default_rng(7)
+        conf = 1.0 + rng.random(depth.shape).astype(np.float32)
+        Ks = np.repeat(K[None], n, axis=0).astype(np.float32)
+        return depth, conf, Ks, poses.astype(np.float32)
+
+    def _dense_band_oracle(self, grid, depth, conf, Ks, E):
+        from da3slam_tpu.ops.tsdf import integrate
+
+        for i in range(len(depth)):
+            grid = integrate(grid, depth[i], conf[i], Ks[i], E[i],
+                             band_only=True)
+        return grid
+
+    def test_matches_band_only_dense(self):
+        """Bit-level agreement with the sequential dense band-only oracle,
+        for both the trivial and the frame-batched step layout (batching
+        shares one gather dispatch but must keep per-frame semantics)."""
+        from da3slam_tpu.ops.tsdf import integrate_frames_sparse, make_grid
+
+        depth, conf, Ks, E = self._frames()
+        grid = make_grid((-0.9, -0.9, 0.4), (20, 20, 24), voxel=0.14)
+        oracle = self._dense_band_oracle(grid, depth, conf, Ks, E)
+        for batch in (1, 4):
+            fused, counts = integrate_frames_sparse(
+                grid, depth, conf, Ks, E, batch=batch)
+            np.testing.assert_allclose(
+                np.asarray(fused.sdf), np.asarray(oracle.sdf), atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(fused.weight), np.asarray(oracle.weight),
+                atol=1e-5)
+            assert counts.shape == (len(depth),) and (counts > 0).all()
+
+    def test_band_only_skips_far_free_space(self):
+        """Voxels far in front of the surface stay untouched (w=0, sdf=+1)
+        while dense would have written free-space weight there."""
+        from da3slam_tpu.ops.tsdf import (
+            integrate, integrate_frames_sparse, make_grid,
+        )
+
+        H, W = 24, 32
+        depth = np.full((H, W), 3.0, np.float32)
+        conf = np.ones((H, W), np.float32)
+        K = np.array([[30.0, 0, 16], [0, 30.0, 12], [0, 0, 1]], np.float32)
+        E = np.eye(4, dtype=np.float32)[:3]
+        # grid well in FRONT of the plane (z in [0.5, 1.6]): all free space
+        grid = make_grid((-0.3, -0.3, 0.5), (8, 8, 10), voxel=0.11)
+        sp, counts = integrate_frames_sparse(
+            grid, depth[None], conf[None], K[None], E[None])
+        np.testing.assert_array_equal(np.asarray(sp.weight), 0.0)
+        np.testing.assert_array_equal(np.asarray(sp.sdf), 1.0)
+        dense = integrate(grid, depth, conf, K, E)  # NOT band-only
+        assert (np.asarray(dense.weight) > 0).any()
+
+    def test_budget_overflow_warns(self):
+        """An explicit too-small block budget drops observations and
+        fuse_frames warns; auto sizing (default) never does."""
+        import warnings
+
+        from da3slam_tpu.ops.tsdf import fuse_frames
+
+        depth, conf, Ks, E = self._frames()
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            fuse_frames(depth, conf, Ks, E, resolution=24, sparse=True,
+                        active_blocks=2)
+        assert any("exceed the budget" in str(w.message) for w in rec)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            fuse_frames(depth, conf, Ks, E, resolution=24, sparse=True)
+        assert not rec
+
+    def test_colored_matches_dense(self):
+        """Color accumulators agree with the dense band-only oracle."""
+        from da3slam_tpu.ops.tsdf import (
+            integrate, integrate_frames_sparse, make_grid,
+        )
+        from da3slam_tpu.utils.synthetic import (
+            default_intrinsics, make_trajectory, render_depth, render_rgb,
+        )
+
+        hw = (32, 40)
+        K = default_intrinsics(hw)
+        poses = make_trajectory(3).astype(np.float32)
+        depth = np.stack([render_depth(E, K, hw) for E in poses])
+        imgs = np.stack([render_rgb(E, K, hw) for E in poses]).astype(
+            np.float32)
+        conf = np.ones(depth.shape, np.float32)
+        Ks = np.repeat(K[None], 3, axis=0).astype(np.float32)
+        grid = make_grid((-0.9, -0.9, 0.4), (16, 16, 20), voxel=0.17,
+                         with_color=True)
+        oracle = grid
+        for i in range(3):
+            oracle = integrate(oracle, depth[i], conf[i], Ks[i], poses[i],
+                               band_only=True, image=imgs[i])
+        fused, _ = integrate_frames_sparse(
+            grid, depth, conf, Ks, poses, images=imgs)
+        np.testing.assert_allclose(
+            np.asarray(fused.color), np.asarray(oracle.color), atol=1e-3)
+
+    def test_box_orbit_mesh_on_walls(self):
+        """Sparse fusion of an orbit inside the closed box world meshes
+        onto the box walls (the full-3D-extent scene the bench fuses)."""
+        from da3slam_tpu.ops.tsdf import fuse_frames
+        from da3slam_tpu.utils.synthetic import (
+            BOX_PLANES, default_intrinsics, make_orbit_trajectory,
+            render_depth,
+        )
+
+        hw = (32, 40)
+        K = default_intrinsics(hw)
+        poses = make_orbit_trajectory(8)
+        depth = np.stack(
+            [render_depth(E, K, hw, planes=BOX_PLANES) for E in poses])
+        conf = np.full(depth.shape, 2.0, np.float32)
+        Ks = np.repeat(K[None], 8, axis=0).astype(np.float32)
+        grid = fuse_frames(depth, conf, Ks, poses.astype(np.float32),
+                           resolution=40, sparse=True)
+        verts, faces = tsdf_to_mesh(grid)
+        assert len(verts) > 300
+        dists = np.min(
+            np.stack([np.abs(verts @ np.asarray(n) - c)
+                      for n, c in BOX_PLANES]),
+            axis=0,
+        )
+        assert np.quantile(dists, 0.95) < 1.5 * float(grid.voxel)
+
+
 class TestGridFromBounds:
     def test_longest_axis_resolution(self):
         g = grid_from_bounds((0, 0, 0), (2.0, 1.0, 0.5), resolution=100)
