@@ -206,7 +206,10 @@ def apply_dpt(
     y = _resize_ac(y, 2 * stages[0].shape[1], 2 * stages[0].shape[2])
     y = conv2d(params["fusion"][0]["out"], y)
 
-    # output head at full image resolution
+    # output head at full image resolution.  These stay on XLA's conv: a
+    # hand-written tap-panel Pallas kernel (ops/conv3x3.py) is a measured
+    # negative at every head shape — XLA runs the standalone convs at
+    # ~58 TF/s, 2.5x the round-3 in-model trace's 24 TF/s (ROADMAP r4)
     y = conv2d(params["head1"], y)
     y = _resize_ac(y, H, W)
     y = jax.nn.relu(conv2d(params["head2"], y))
