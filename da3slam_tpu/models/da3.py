@@ -171,6 +171,19 @@ class DepthAnything3:
                   + (" ..." if len(report.missing) > 8 else ""))
         return cls(cfg, params)
 
+    def quantize(self, scheme: str = "w8a8") -> "DepthAnything3":
+        """Return a copy whose encoder projection GEMMs run pre-quantized
+        int8×int8 on the MXU (2x the bf16 rate on a v5e; ops/quant.py for
+        the design and the measured dynamic-quant negative it avoids).
+        Inference-only: the quantized pytree is not trainable/exportable."""
+        if scheme != "w8a8":
+            raise ValueError(f"unknown quantization scheme {scheme!r}")
+        from da3slam_tpu.ops.quant import quantize_encoder_params
+
+        params = dict(self.params)
+        params["encoder"] = quantize_encoder_params(self.params["encoder"])
+        return DepthAnything3(self.cfg, params, self.attn_impl, self.dtype)
+
     # torch-API shims so reference-style call sites keep working
     def to(self, device=None):  # noqa: D401
         return self

@@ -110,10 +110,15 @@ def layer_norm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
     return (out * p["scale"] + p["bias"]).astype(x.dtype)
 
 
-def _attention(p: Params, x: jax.Array, num_heads: int, impl: str) -> jax.Array:
-    """x: [B, S, D] → [B, S, D]."""
-    B, S, D = x.shape
-    qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
+def _attn_core(
+    p: Params, qkv: jax.Array, num_heads: int, impl: str
+) -> jax.Array:
+    """Split/reshape → attention → out-projection (shared by the float and
+    W8A8 QKV producers).  The out-projection stays float in both: its input
+    is the attention output, with no preceding elementwise pass to fuse a
+    quantize into (dynamic act-quant is a measured negative, ops/quant.py)."""
+    B, S, D3 = qkv.shape
+    D = D3 // 3
     q, k, v = jnp.split(qkv, 3, axis=-1)
     hd = D // num_heads
     q = q.reshape(B, S, num_heads, hd)
@@ -121,7 +126,24 @@ def _attention(p: Params, x: jax.Array, num_heads: int, impl: str) -> jax.Array:
     v = v.reshape(B, S, num_heads, hd)
     out = multi_head_attention(q, k, v, impl=impl)
     out = out.reshape(B, S, D)
-    return out @ p["proj_w"].astype(x.dtype) + p["proj_b"].astype(x.dtype)
+    return out @ p["proj_w"].astype(qkv.dtype) + p["proj_b"].astype(qkv.dtype)
+
+
+def _attention(p: Params, x: jax.Array, num_heads: int, impl: str) -> jax.Array:
+    """x: [B, S, D] → [B, S, D]."""
+    qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
+    return _attn_core(p, qkv, num_heads, impl)
+
+
+def _attention_w8a8(
+    p: Params, x8: jax.Array, xs: jax.Array, dtype, num_heads: int, impl: str
+) -> jax.Array:
+    """QKV via pre-quantized int8×int8 GEMM (ops/quant.py); attention and
+    out-projection run in ``dtype`` as usual."""
+    from da3slam_tpu.ops.quant import int8_gemm
+
+    qkv = int8_gemm(x8, xs, p["qkv_q"], p["qkv_b"], out_dtype=dtype)
+    return _attn_core(p, qkv, num_heads, impl)
 
 
 def _mlp(p: Params, x: jax.Array) -> jax.Array:
@@ -133,6 +155,21 @@ def _mlp(p: Params, x: jax.Array) -> jax.Array:
     h = x @ p["w1"].astype(x.dtype) + p["b1"].astype(x.dtype)
     h = jax.nn.gelu(h)
     return h @ p["w2"].astype(x.dtype) + p["b2"].astype(x.dtype)
+
+
+def _mlp_w8a8(p: Params, x8: jax.Array, xs: jax.Array, dtype) -> jax.Array:
+    """Both MLP GEMMs int8: the first consumes the layernorm's fused quant,
+    the second a quantize fused into the nonlinearity's elementwise pass."""
+    from da3slam_tpu.ops.quant import int8_gemm, quantize_rows
+
+    if "wg_q" in p:
+        g = int8_gemm(x8, xs, p["wg_q"], p["bg"], out_dtype=dtype)
+        v = int8_gemm(x8, xs, p["wv_q"], p["bv"], out_dtype=dtype)
+        h8, hs = quantize_rows(jax.nn.silu(g) * v)
+        return int8_gemm(h8, hs, p["w3_q"], p["b3"], out_dtype=dtype)
+    h = int8_gemm(x8, xs, p["w1_q"], p["b1"], out_dtype=dtype)
+    h8, hs = quantize_rows(jax.nn.gelu(h))
+    return int8_gemm(h8, hs, p["w2_q"], p["b2"], out_dtype=dtype)
 
 
 def _block(
@@ -151,9 +188,19 @@ def _block(
             impl = cross_impl
     else:
         h = x
-    a = _attention(p["attn"], layer_norm(p["ln1"], h), num_heads, impl)
-    h = h + a * p["ls1"].astype(x.dtype)
-    m = _mlp(p["mlp"], layer_norm(p["ln2"], h))
+    if "qkv_q" in p["attn"]:  # W8A8 pytree (quantize_encoder_params) —
+        # static under jit, like the SwiGLU dispatch in _mlp
+        from da3slam_tpu.ops.quant import layer_norm_quant
+
+        x8, xs = layer_norm_quant(p["ln1"], h)
+        a = _attention_w8a8(p["attn"], x8, xs, x.dtype, num_heads, impl)
+        h = h + a * p["ls1"].astype(x.dtype)
+        m8, ms = layer_norm_quant(p["ln2"], h)
+        m = _mlp_w8a8(p["mlp"], m8, ms, x.dtype)
+    else:
+        a = _attention(p["attn"], layer_norm(p["ln1"], h), num_heads, impl)
+        h = h + a * p["ls1"].astype(x.dtype)
+        m = _mlp(p["mlp"], layer_norm(p["ln2"], h))
     h = h + m * p["ls2"].astype(x.dtype)
     return h.reshape(N, S, D)
 
