@@ -26,7 +26,10 @@ Usage: python tools/repro_fused_clahe.py [--tier base] [--frames 16]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
