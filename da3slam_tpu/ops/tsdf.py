@@ -510,13 +510,21 @@ def _integrate_sparse_impl(
             )
         )(k, e, pyr)  # [B, NB]
         n_active = active.sum(axis=1)
-        order = jnp.argsort(
-            jnp.where(active, 0, 1).astype(jnp.int32), axis=-1
+        # fixed-budget compaction WITHOUT a sort: cumsum gives each active
+        # block its output slot, one drop-mode scatter writes the ids
+        # (within-bounds slots are unique per row, overflow and inactive
+        # land out of bounds at slot A).  Selects the exact same id set as
+        # the previous stable-argsort-and-slice — ascending block index —
+        # at O(NB) VPU work instead of an O(NB log NB) lane-shuffling sort
+        # (~0.3 ms of the ~1.9 ms/frame support passes, ROADMAP r4).
+        pos = jnp.cumsum(active, axis=-1) - 1  # [B, NB]
+        dest = jnp.where(active & (pos < active_blocks), pos, active_blocks)
+        src = jnp.broadcast_to(
+            jnp.arange(nb, dtype=jnp.int32), active.shape
         )
-        ids = order[:, :active_blocks]  # [B, A]
-        ids = jnp.where(
-            jnp.take_along_axis(active, ids, axis=1), ids, nb
-        )  # sentinel → dummy row
+        ids = jnp.full((batch, active_blocks), nb, jnp.int32).at[
+            jnp.arange(batch, dtype=jnp.int32)[:, None], dest
+        ].set(src, mode="drop")  # inactive slots → sentinel = dummy row
 
         # voxel centers of the selected blocks (sentinel rows decode out of
         # the grid; their updates land in the dummy row).  Per-voxel math
