@@ -15,6 +15,10 @@ JSON line per metric, headline first:
                            spill; honest but tunnel-degraded in this dev
                            environment (~40 MB/s device->host vs PCIe DMA
                            on a co-located host)
+  segmented_slam_host_spill_f16_fps — host-spill mode with spill_dtype=f16
+                           (depth/conf emitted compact from the scan:
+                           half the HBM output buffer, half the spill
+                           bytes)
   single_frame_latency_ms— BASELINE config 1: one-frame SMALL depth
                            inference at 504x504, steady-state wall ms
                            (vs_baseline = 33.3ms / value: >1 means faster
@@ -90,7 +94,7 @@ def _force(*arrays) -> None:
 
 
 def bench_pipeline(model, frames_dev, hw, segment_windows=None, n_reps=3,
-                   segment_spill="device"):
+                   segment_spill="device", spill_dtype=None):
     import jax
 
     from da3slam_tpu.slam.pipeline import run_streaming_slam
@@ -110,6 +114,7 @@ def bench_pipeline(model, frames_dev, hw, segment_windows=None, n_reps=3,
             # segmented_slam_host_spill_fps metric records "host" anyway,
             # labeled as tunnel-degraded
             segment_spill=segment_spill,
+            spill_dtype=None if spill_dtype is None else np.dtype(spill_dtype),
         )
         _force(out.depth_scale, out.extrinsics_global[-1, -1])
         return out
@@ -591,6 +596,13 @@ def main() -> None:
     guarded("segmented_slam_host_spill_fps", "frames/s",
             lambda: bench_pipeline(small, frames_dev, hw, segment_windows=3,
                                    n_reps=1, segment_spill="host"),
+            lambda v: v / BASELINE_FPS)
+    # same mode with spill_dtype=f16: depth/conf emitted compact from the
+    # scan — halves both the per-segment HBM buffer and the host transfer
+    guarded("segmented_slam_host_spill_f16_fps", "frames/s",
+            lambda: bench_pipeline(small, frames_dev, hw, segment_windows=3,
+                                   n_reps=1, segment_spill="host",
+                                   spill_dtype="float16"),
             lambda v: v / BASELINE_FPS)
     guarded("single_frame_latency_ms", "ms",
             lambda: bench_single_frame_latency(small, frames_dev, hw),

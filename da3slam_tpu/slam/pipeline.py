@@ -106,7 +106,8 @@ def _align_step(carry, out, a_idx, is_first, align_config):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "align_config", "attn_impl", "dtype", "process_hw"),
+    static_argnames=("cfg", "align_config", "attn_impl", "dtype", "process_hw",
+                     "spill_dtype"),
 )
 def run_pipeline(
     params: Any,
@@ -119,12 +120,20 @@ def run_pipeline(
     dtype=jnp.bfloat16,
     process_hw: tuple[int, int] | None = None,
     carry=None,
+    spill_dtype=None,
 ) -> tuple[PipelineOutput, tuple]:
     """Scan the SLAM loop over all windows in one compiled program.
 
     ``carry`` threads segmented runs: pass the carry returned by the previous
     segment to continue a sequence (None starts fresh — the first window then
     defines the global frame).  Returns ``(outputs, final_carry)``.
+
+    ``spill_dtype`` (e.g. ``jnp.float16``) casts the DENSE emitted maps —
+    depth and conf, the [C, N, H, W] bulk — at the scan emit, halving both
+    the stacked output buffer in HBM and any subsequent device→host spill.
+    The alignment math itself (the carry) stays f32; poses/intrinsics/
+    scales are tiny and stay f32.  f16's 10-bit mantissa bounds the depth
+    error at ~0.05%, well under the model's own noise floor.
     """
     hw = process_hw if process_hw is not None else (frames.shape[1], frames.shape[2])
     fresh_start = carry is None
@@ -134,7 +143,12 @@ def run_pipeline(
         chunk_images = resize_normalize(jnp.take(frames, idx_row, axis=0), hw)
         out = forward_fn(params, chunk_images, cfg, ref_idx=0,
                          attn_impl=attn_impl, dtype=dtype)
-        return _align_step(carry, out, a_idx, is_first, align_config)
+        new_carry, (d, cf, ext, K, s, fit) = _align_step(
+            carry, out, a_idx, is_first, align_config
+        )
+        if spill_dtype is not None:
+            d, cf = d.astype(spill_dtype), cf.astype(spill_dtype)
+        return new_carry, (d, cf, ext, K, s, fit)
 
     C = window_idx.shape[0]
     H, W = hw
@@ -268,6 +282,7 @@ def run_streaming_slam(
     dtype=jnp.bfloat16,
     segment_windows: int | None = None,
     segment_spill: str = "host",
+    spill_dtype=None,
     mesh=None,
 ) -> PipelineOutput:
     """Host convenience wrapper: window indexing + the scan pipeline.
@@ -283,6 +298,13 @@ def run_streaming_slam(
     the caller will immediately reduce them on-device, or to measure the
     compute path without the host link).
 
+    ``spill_dtype`` (e.g. ``jnp.float16``) emits the dense depth/conf maps
+    in a compact dtype straight from the scan — halving the per-segment
+    HBM output buffer AND the device→host spill bytes (the host link is
+    the bounded-HBM mode's bottleneck: depth+conf dominate the transfer
+    at ~32 MB per 16-frame window in f32).  None keeps the bit-exact f32
+    path.
+
     ``mesh`` switches to the multi-chip pipeline (``run_pipeline_dp``):
     window forwards shard over the mesh's ``dp`` axis, the pose chain
     scans sequentially over the small forward outputs.
@@ -292,13 +314,18 @@ def run_streaming_slam(
 
     def run_segment(seg_frames, seg_idx, seg_anchors, carry):
         if mesh is not None:
-            return run_pipeline_dp(
+            out, c = run_pipeline_dp(
                 params, seg_frames, seg_idx, seg_anchors, cfg, mesh,
                 align_config, attn_impl, dtype, process_hw, carry=carry,
             )
+            if spill_dtype is not None:  # dp path: cast before the spill
+                out = out._replace(depth=out.depth.astype(spill_dtype),
+                                   conf=out.conf.astype(spill_dtype))
+            return out, c
         return run_pipeline(
             params, seg_frames, seg_idx, seg_anchors, cfg,
             align_config, attn_impl, dtype, process_hw, carry=carry,
+            spill_dtype=spill_dtype,
         )
 
     if segment_windows is None or segment_windows >= idx.shape[0]:

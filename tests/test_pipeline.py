@@ -158,6 +158,43 @@ class TestSegmentedPipeline:
                                       np.asarray(dev.extrinsics_global))
 
 
+class TestCompactSpill:
+    def test_f16_spill_matches_f32(self):
+        """spill_dtype=f16 halves the emitted depth/conf bytes; values must
+        match the f32 path to f16 rounding and poses must be untouched
+        (the alignment carry stays f32 regardless of the spill dtype)."""
+        model = DepthAnything3.from_pretrained("tiny")
+        rng = np.random.default_rng(0)
+        base = rng.integers(40, 200, size=(56, 70, 3))
+        frames = np.stack([
+            np.clip(np.roll(base, i * 2, axis=1) + rng.integers(0, 20, (56, 70, 3)), 0, 255)
+            for i in range(10)
+        ]).astype(np.uint8)
+        kw = dict(chunk_size=4, overlap=1, process_hw=(56, 70), dtype=jnp.float32)
+
+        full = run_streaming_slam(model.params, frames, model.cfg, **kw)
+        f16 = run_streaming_slam(model.params, frames, model.cfg,
+                                 spill_dtype=jnp.float16, **kw)
+        assert np.asarray(f16.depth).dtype == np.float16
+        assert np.asarray(f16.conf).dtype == np.float16
+        # f16: 10-bit mantissa → rel error ≤ 2^-11
+        d32 = np.asarray(full.depth)
+        np.testing.assert_allclose(np.asarray(f16.depth).astype(np.float32),
+                                   d32, rtol=1e-3, atol=1e-3 * np.abs(d32).max())
+        # poses, intrinsics, scales: bit-identical (cast is emit-only)
+        np.testing.assert_array_equal(np.asarray(full.extrinsics_global),
+                                      np.asarray(f16.extrinsics_global))
+        np.testing.assert_array_equal(np.asarray(full.depth_scale),
+                                      np.asarray(f16.depth_scale))
+
+        # segmented host-spill composes with the compact dtype
+        seg = run_streaming_slam(model.params, frames, model.cfg,
+                                 segment_windows=2, spill_dtype=jnp.float16, **kw)
+        assert np.asarray(seg.depth).dtype == np.float16
+        np.testing.assert_array_equal(np.asarray(seg.extrinsics_global),
+                                      np.asarray(f16.extrinsics_global))
+
+
 class TestDPPipeline:
     @pytest.mark.slow
     def test_dp_sharded_matches_fused_scan(self):
