@@ -359,18 +359,28 @@ def prediction_to_3dgs(
     toolchain is available (native/src/pointcloud.cpp:write_3dgs_splats —
     one fused pass over the grid instead of NumPy's ~20; ~10x on the
     align+export bench), falling back to the NumPy pipeline bit-for-bit
-    compatibly (parity-tested in test_native.py)."""
-    if anisotropic:
+    compatibly for uint8 images (parity-tested in test_native.py; float
+    images are quantized to uint8 for the native layout, ≤0.5/255 color
+    delta vs the NumPy path)."""
+    from da3slam_tpu import native
+
+    if anisotropic and native._load() is not None:
         Path(path).parent.mkdir(parents=True, exist_ok=True)
         depth = np.asarray(prediction.depth)
         K = np.asarray(prediction.intrinsics)
         pts_g = _backproject_np(depth, K, np.asarray(prediction.extrinsics),
                                 stride=stride)
         cols = np.asarray(prediction.processed_images)[:, ::stride, ::stride]
+        if cols.dtype != np.uint8:
+            # mirror export_3dgs_ply's convention: floats in [0,1] scale to
+            # 0-255, anything already in 0-255 range just quantizes (a raw
+            # astype would truncate [0,1] floats to all-black)
+            colsf = cols.astype(np.float32)
+            if colsf.size and colsf.max() <= 1.0:
+                colsf = colsf * 255.0
+            cols = np.clip(np.round(colsf), 0, 255).astype(np.uint8)
         conf = np.asarray(prediction.conf)[:, ::stride, ::stride]
         d_s = depth[:, ::stride, ::stride]
-        from da3slam_tpu import native
-
         n = native.write_3dgs_splats_native(
             path, pts_g, cols, conf, d_s, conf_threshold, opacity_scale
         )

@@ -345,8 +345,12 @@ def _block_activity(
     u = x / zs * fx + cx
     v = y / zs * fy + cy
     zmin = jnp.maximum(z - zh, eps)
-    rho_u = (fx * xh + jnp.abs(u - cx) * zh) / zmin
-    rho_v = (fy * yh + jnp.abs(v - cy) * zh) / zmin
+    # +0.5: the per-voxel observation samples depth at round(u), which can
+    # land up to half a pixel beyond the continuous projection — without
+    # the margin a voxel whose rounded pixel crosses a tile boundary can
+    # read a tile the bbox corners never covered (missed active block)
+    rho_u = (fx * xh + jnp.abs(u - cx) * zh) / zmin + 0.5
+    rho_v = (fy * yh + jnp.abs(v - cy) * zh) / zmin + 0.5
     rho = jnp.maximum(rho_u, rho_v)
 
     lvl = jnp.clip(
@@ -666,6 +670,9 @@ def integrate_frames_sparse(
     conf = jnp.asarray(conf)
     K = jnp.asarray(K)
     E_w2c = jnp.asarray(E_w2c)
+
+    if depth.shape[0] == 0:  # empty stack: nothing to fuse
+        return grid, np.zeros((0,), np.int64)
 
     if active_blocks is None:
         counts = _count_active_impl(

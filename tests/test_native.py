@@ -111,6 +111,81 @@ class TestNativePly:
         for key in a:
             np.testing.assert_allclose(a[key], b[key], atol=5e-6, err_msg=key)
 
+    def test_3dgs_float_images_match_numpy_path(self, tmp_path):
+        """Float images in [0,1] (e.g. straight from preprocess) must come
+        out with the same colors on both paths — a raw uint8 cast would
+        truncate them all to black (round-4 review finding)."""
+        from da3slam_tpu.inout import export3d as e3
+
+        class P:
+            pass
+
+        rng = np.random.default_rng(11)
+        N, H, W = 2, 24, 20
+        p = P()
+        p.depth = rng.uniform(0.5, 3.0, (N, H, W)).astype(np.float32)
+        p.conf = rng.uniform(1.2, 2.0, (N, H, W)).astype(np.float32)
+        K = np.zeros((N, 3, 3), np.float32)
+        K[:, 0, 0] = K[:, 1, 1] = 18.0
+        K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = W / 2, H / 2, 1.0
+        p.intrinsics = K
+        p.extrinsics = np.tile(np.eye(4, dtype=np.float32)[:3], (N, 1, 1))
+        p.processed_images = rng.uniform(0.0, 1.0, (N, H, W, 3)).astype(np.float32)
+
+        n_native = e3.prediction_to_3dgs(p, tmp_path / "n.ply", conf_threshold=1.0)
+
+        import da3slam_tpu.native as mod
+
+        lib, mod._lib, mod._load_failed = mod._lib, None, True
+        try:
+            n_py = e3.prediction_to_3dgs(p, tmp_path / "p.ply", conf_threshold=1.0)
+        finally:
+            mod._lib, mod._load_failed = lib, False
+
+        assert n_native == n_py > 0
+        a = e3.read_3dgs_ply(tmp_path / "n.ply")
+        b = e3.read_3dgs_ply(tmp_path / "p.ply")
+        # colors survive (not truncated to black) and match to the u8
+        # quantization step (0.5/255)
+        assert a["colors"].max() > 0.5
+        np.testing.assert_allclose(a["colors"], b["colors"], atol=0.5 / 255 + 1e-6)
+        for key in ("points", "scales", "opacity", "rotations"):
+            np.testing.assert_allclose(a[key], b[key], atol=5e-6, err_msg=key)
+
+    def test_no_native_fallback_backprojects_once(self, monkeypatch, tmp_path):
+        """Without the native library the NumPy fallback must not pay the
+        full-grid backprojection twice (round-4 review finding)."""
+        from da3slam_tpu.inout import export3d as e3
+
+        class P:
+            pass
+
+        rng = np.random.default_rng(5)
+        N, H, W = 1, 16, 16
+        p = P()
+        p.depth = rng.uniform(0.5, 2.0, (N, H, W)).astype(np.float32)
+        p.conf = np.full((N, H, W), 1.5, np.float32)
+        K = np.zeros((N, 3, 3), np.float32)
+        K[:, 0, 0] = K[:, 1, 1] = 12.0
+        K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = W / 2, H / 2, 1.0
+        p.intrinsics = K
+        p.extrinsics = np.tile(np.eye(4, dtype=np.float32)[:3], (N, 1, 1))
+        p.processed_images = rng.integers(0, 255, (N, H, W, 3), dtype=np.uint8)
+
+        calls = []
+        orig = e3._backproject_np
+        monkeypatch.setattr(e3, "_backproject_np",
+                            lambda *a, **k: calls.append(1) or orig(*a, **k))
+        import da3slam_tpu.native as mod
+
+        lib, mod._lib, mod._load_failed = mod._lib, None, True
+        try:
+            n = e3.prediction_to_3dgs(p, tmp_path / "f.ply", conf_threshold=1.0)
+        finally:
+            mod._lib, mod._load_failed = lib, False
+        assert n > 0
+        assert len(calls) == 1
+
     def test_python_reader_still_reads_native_file(self, tmp_path):
         """Format compatibility: C++-written file must parse with the pure
         Python reader (and vice versa)."""

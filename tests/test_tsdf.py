@@ -248,6 +248,55 @@ class TestSparseFusion:
                 atol=1e-5)
             assert counts.shape == (len(depth),) and (counts > 0).all()
 
+    def test_rounding_margin_at_tile_boundary(self):
+        """Regression (round-4 review): the activity footprint must include
+        the 0.5-px nearest-pixel rounding margin.  Voxels whose continuous
+        projection stays inside one 16-px depth tile but whose round()ed
+        sample pixel crosses into the next tile were silently dropped —
+        here the left tile reads far depth (inactive by the band test)
+        while the rounded pixel reads the near surface."""
+        from da3slam_tpu.ops.tsdf import integrate, integrate_frames_sparse
+
+        H = W = 64
+        depth = np.full((H, W), 10.0, np.float32)
+        depth[:, 32:] = 2.0  # discontinuity exactly at the tile boundary
+        conf = np.ones((H, W), np.float32)
+        K = np.array([[64.0, 0, 32.0], [0, 64.0, 32.0], [0, 0, 1]], np.float32)
+        E = np.eye(4, dtype=np.float32)[:3]
+
+        # bs=4 block whose centers project to u ∈ [31.5, 32): continuous u
+        # stays in the left tile, round(u) = 32 samples the right one
+        grid = make_grid((-0.014, -0.256, 1.9955), (4, 4, 4), voxel=0.003)
+        oracle = integrate(grid, depth, conf, K, E, band_only=True)
+        n_dense = int((np.asarray(oracle.weight) > 0).sum())
+        assert n_dense > 0, "repro setup must place voxels in the band"
+
+        fused, counts = integrate_frames_sparse(
+            grid, depth[None], conf[None], K[None], E[None])
+        assert int(counts[0]) > 0
+        np.testing.assert_allclose(np.asarray(fused.sdf),
+                                   np.asarray(oracle.sdf), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fused.weight),
+                                   np.asarray(oracle.weight), atol=1e-6)
+
+    def test_empty_frame_stack_is_noop(self):
+        """Regression (round-4 review): a zero-frame stack must return the
+        grid unchanged (auto-size budget used to crash on counts.max())."""
+        from da3slam_tpu.ops.tsdf import integrate_frames_sparse
+
+        grid = make_grid((0, 0, 0), (8, 8, 8), voxel=0.1)
+        fused, counts = integrate_frames_sparse(
+            grid,
+            np.zeros((0, 16, 16), np.float32),
+            np.zeros((0, 16, 16), np.float32),
+            np.zeros((0, 3, 3), np.float32),
+            np.zeros((0, 3, 4), np.float32),
+        )
+        assert counts.shape == (0,)
+        np.testing.assert_array_equal(np.asarray(fused.sdf), np.asarray(grid.sdf))
+        np.testing.assert_array_equal(np.asarray(fused.weight),
+                                      np.asarray(grid.weight))
+
     def test_band_only_skips_far_free_space(self):
         """Voxels far in front of the surface stay untouched (w=0, sdf=+1)
         while dense would have written free-space weight there."""
