@@ -194,6 +194,33 @@ class TestCompactSpill:
         np.testing.assert_array_equal(np.asarray(seg.extrinsics_global),
                                       np.asarray(f16.extrinsics_global))
 
+    @pytest.mark.slow
+    def test_f16_spill_dp_path(self):
+        """The dp-sharded pipeline honors spill_dtype too (cast happens
+        after run_pipeline_dp, before the spill)."""
+        from da3slam_tpu.parallel import make_mesh
+        from da3slam_tpu.slam.alignment import AlignmentConfig
+
+        model = DepthAnything3.from_pretrained("tiny")
+        rng = np.random.default_rng(0)
+        base = rng.integers(40, 200, size=(56, 70, 3))
+        frames = np.stack([
+            np.clip(np.roll(base, i * 2, axis=1) + rng.integers(0, 20, (56, 70, 3)), 0, 255)
+            for i in range(10)
+        ]).astype(np.uint8)
+        kw = dict(chunk_size=4, overlap=1, process_hw=(56, 70), dtype=jnp.float32,
+                  align_config=AlignmentConfig(method="umeyama"))
+        mesh = make_mesh(8, tp=1)
+        full = run_streaming_slam(model.params, frames, model.cfg, mesh=mesh, **kw)
+        f16 = run_streaming_slam(model.params, frames, model.cfg, mesh=mesh,
+                                 spill_dtype=jnp.float16, **kw)
+        assert np.asarray(f16.depth).dtype == np.float16
+        d32 = np.asarray(full.depth)
+        np.testing.assert_allclose(np.asarray(f16.depth).astype(np.float32),
+                                   d32, rtol=1e-3, atol=1e-3 * np.abs(d32).max())
+        np.testing.assert_array_equal(np.asarray(full.extrinsics_global),
+                                      np.asarray(f16.extrinsics_global))
+
 
 class TestDPPipeline:
     @pytest.mark.slow
