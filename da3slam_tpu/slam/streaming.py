@@ -76,6 +76,10 @@ class DA3Streaming:
         # inout/mesh.py; the reference has no volumetric output at all)
         self.export_mesh = mcfg.get("export_mesh", False)
         self.mesh_resolution = mcfg.get("mesh_resolution", 192)
+        # block-sparse band-only fusion (ops/tsdf.integrate_frames_sparse,
+        # ~9x the dense path at production grids); False restores the dense
+        # every-voxel update (adds free-space carving in front of surfaces)
+        self.mesh_sparse = mcfg.get("mesh_sparse", True)
         self._mesh_bounds: list = []
         pcfg = config.get("Pointcloud_Save", mcfg.get("Pointcloud_Save", {})) or {}
         self.conf_threshold_coef = pcfg.get("conf_threshold_coef", 1.0)
@@ -492,6 +496,7 @@ class DA3Streaming:
         from da3slam_tpu.ops.tsdf import (
             grid_from_bounds,
             integrate_frames,
+            integrate_frames_sparse,
             vertex_colors,
         )
 
@@ -523,15 +528,21 @@ class DA3Streaming:
                 s * sim3_transform_w2c(jnp.asarray(ext, jnp.float32), T),
                 np.float32,
             )
-            grid = integrate_frames(
+            fuse_args = (
                 grid,
                 jnp.asarray(chunk["depth"] * np.float32(s)),
                 # spilled conf is already floor-shifted (conf - 1 >= 0)
                 jnp.asarray(np.maximum(chunk["conf"], 0.0)),
                 jnp.asarray(chunk["intrinsics"]),
                 jnp.asarray(E_glob),
-                images=jnp.asarray(chunk["images"].astype(np.float32)),
             )
+            images = jnp.asarray(chunk["images"].astype(np.float32))
+            if self.mesh_sparse:
+                grid, _counts = integrate_frames_sparse(
+                    *fuse_args, images=images
+                )
+            else:
+                grid = integrate_frames(*fuse_args, images=images)
             print(f"[mesh] fused chunk {k + 1}/{len(self.all_camera_poses)}")
 
         verts, faces = tsdf_to_mesh(grid)

@@ -497,9 +497,11 @@ class TestStreamingEndToEnd:
 
 
 class TestStreamingMeshExport:
-    def test_mesh_lands_on_room_planes(self, tmp_path):
+    @pytest.mark.parametrize("mesh_sparse", [True, False])
+    def test_mesh_lands_on_room_planes(self, tmp_path, mesh_sparse):
         """export_mesh: true → scene_mesh.ply beside combined_pcd.ply, with
-        the fused surface on the synthetic room planes (chunk-0 scale)."""
+        the fused surface on the synthetic room planes (chunk-0 scale) —
+        for both the default block-sparse fusion and the dense path."""
         from da3slam_tpu.inout.mesh import read_mesh_ply
         from da3slam_tpu.utils.synthetic import PLANES
 
@@ -509,7 +511,8 @@ class TestStreamingMeshExport:
         model = FakeDA3(poses, chunk_scales=scales)
         config = {
             "Model": {"chunk_size": 4, "overlap": 2, "process_res": 64,
-                      "export_mesh": True, "mesh_resolution": 64},
+                      "export_mesh": True, "mesh_resolution": 64,
+                      "mesh_sparse": mesh_sparse},
         }
         out = tmp_path / "out"
         s = DA3Streaming(make_fake_image_dir(tmp_path, n), str(out), config,
