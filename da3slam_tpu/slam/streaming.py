@@ -81,6 +81,9 @@ class DA3Streaming:
         # every-voxel update (adds free-space carving in front of surfaces)
         self.mesh_sparse = mcfg.get("mesh_sparse", True)
         self._mesh_bounds: list = []
+        # shared sparse-fusion block budget (set from the first chunk's
+        # true counts; one budget → one XLA compile across all chunks)
+        self._mesh_block_budget: int | None = None
         pcfg = config.get("Pointcloud_Save", mcfg.get("Pointcloud_Save", {})) or {}
         self.conf_threshold_coef = pcfg.get("conf_threshold_coef", 1.0)
         self.sample_ratio = pcfg.get("sample_ratio", 0.3)
@@ -538,9 +541,32 @@ class DA3Streaming:
             )
             images = jnp.asarray(chunk["images"].astype(np.float32))
             if self.mesh_sparse:
-                grid, _counts = integrate_frames_sparse(
-                    *fuse_args, images=images
+                # Reuse one block budget across chunks: each distinct
+                # auto-sized budget is its own XLA compile (~20-40 s) and
+                # pays a per-frame counting pass; the first chunk
+                # auto-sizes (with headroom), later chunks skip the count.
+                # The impl returns TRUE counts, so an over-budget chunk is
+                # detected exactly and re-fused from the pre-update grid
+                # (fuse_args[0]) — observations are never silently dropped.
+                grid, counts = integrate_frames_sparse(
+                    *fuse_args, images=images,
+                    active_blocks=self._mesh_block_budget,
                 )
+                peak = int(counts.max()) if counts.size else 0
+                if (self._mesh_block_budget is not None
+                        and peak > self._mesh_block_budget):
+                    print(f"[mesh] chunk {k + 1}: {peak} active blocks "
+                          f"exceed budget {self._mesh_block_budget}; "
+                          "re-fusing with auto-sized budget")
+                    grid, counts = integrate_frames_sparse(
+                        *fuse_args, images=images, active_blocks=None,
+                    )
+                    peak = int(counts.max()) if counts.size else 0
+                if self._mesh_block_budget is None or (
+                        peak > self._mesh_block_budget):
+                    # 25% headroom, rounded to the 128-multiple compile key
+                    self._mesh_block_budget = -(-(peak * 5 // 4 + 1)
+                                                // 128) * 128
             else:
                 grid = integrate_frames(*fuse_args, images=images)
             print(f"[mesh] fused chunk {k + 1}/{len(self.all_camera_poses)}")

@@ -529,3 +529,37 @@ class TestStreamingMeshExport:
         )
         assert np.quantile(dists, 0.9) < 0.2 * s0
         s.close()
+
+    def test_sparse_budget_reuse_and_overflow_refuse(self, tmp_path):
+        """The per-chunk sparse fusion shares one block budget (set from the
+        first chunk's true counts); an artificially tiny pre-set budget must
+        be detected as over-budget and the chunk re-fused exactly — the mesh
+        still lands on the room planes, and the budget is raised."""
+        from da3slam_tpu.inout.mesh import read_mesh_ply
+        from da3slam_tpu.utils.synthetic import PLANES
+
+        n = 9
+        poses = make_trajectory(n)
+        scales = [1.4, 0.8, 1.1]
+        config = {
+            "Model": {"chunk_size": 4, "overlap": 2, "process_res": 64,
+                      "export_mesh": True, "mesh_resolution": 64,
+                      "mesh_sparse": True},
+        }
+        out = tmp_path / "out"
+        s = DA3Streaming(make_fake_image_dir(tmp_path, n), str(out), config,
+                         model=FakeDA3(poses, chunk_scales=scales))
+        # force the overflow path: far fewer blocks than any real chunk needs
+        s._mesh_block_budget = 128
+        s.run()
+        assert s._mesh_block_budget > 128  # raised from true counts
+        verts, _faces, _cols = read_mesh_ply(out / "scene_mesh.ply",
+                                             with_colors=True)
+        s0 = scales[0]
+        dists = np.min(
+            np.stack([np.abs(verts @ np.asarray(nrm) - c * s0)
+                      for nrm, c in PLANES]),
+            axis=0,
+        )
+        assert np.quantile(dists, 0.9) < 0.2 * s0
+        s.close()
