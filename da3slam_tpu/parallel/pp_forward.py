@@ -108,6 +108,25 @@ def make_pp_encode(
     S = n_stages
     interval = cfg.cross_view_interval
 
+    def apply_block(bp, x, is_cross):
+        def cross_branch(args):
+            bp_, x_ = args
+            return vit._block(bp_, x_, cfg.num_heads, True, attn_impl)
+
+        def intra_branch(args):
+            bp_, x_ = args
+            return vit._block(bp_, x_, cfg.num_heads, False, attn_impl)
+
+        return jax.lax.cond(is_cross, cross_branch, intra_branch, (bp, x))
+
+    if cfg.remat:
+        # GPipe + remat: the backward recomputes each block from its input,
+        # so jax.grad through the pipeline scan stores only the per-tick
+        # ppermute activations instead of every intra-block intermediate —
+        # the TPU-idiomatic route to 1F1B's activation-memory goal without
+        # a hand-scheduled interleaved backward (see make_pp_train_step)
+        apply_block = jax.checkpoint(apply_block)
+
     def stage_apply(local_blocks, x, stage_id):
         """Apply this device's ``per`` blocks; collect taps for the layers
         this stage owns (zeros elsewhere — slots are disjoint per stage)."""
@@ -116,16 +135,7 @@ def make_pp_encode(
             bp = jax.tree.map(lambda a, j=j: a[0, j], local_blocks)
             g = stage_id * per + j  # global block index (traced)
             is_cross = (g % interval) == (interval - 1)
-
-            def cross_branch(args):
-                bp_, x_ = args
-                return vit._block(bp_, x_, cfg.num_heads, True, attn_impl)
-
-            def intra_branch(args):
-                bp_, x_ = args
-                return vit._block(bp_, x_, cfg.num_heads, False, attn_impl)
-
-            x = jax.lax.cond(is_cross, cross_branch, intra_branch, (bp, x))
+            x = apply_block(bp, x, is_cross)
             for k, layer in enumerate(cfg.dpt_layers):
                 taps = taps.at[k].set(jnp.where(g == layer, x, taps[k]))
         return x, taps

@@ -68,6 +68,41 @@ class TestPPForward:
         with pytest.raises(ValueError, match="must divide"):
             make_pp_encode(cfg, mesh, 3)
 
+    def test_remat_matches_no_remat(self):
+        """cfg.remat is a pure memory/FLOPs trade: pp forward outputs and
+        grads through the pipeline must be unchanged (GPipe + remat — the
+        backward recomputes each block from its per-tick input)."""
+        import dataclasses
+
+        cfg = get_preset("tiny")
+        cfg_r = dataclasses.replace(cfg, remat=True)
+        n_stages, M, N, hw = 2, 2, 2, (28, 28)
+        mesh = pp_mesh(n_stages)
+        params = vit.init_encoder(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(2)
+        images = jnp.asarray(rng.normal(size=(M, N, *hw, 3)).astype(np.float32))
+        stage_params, rest = split_encoder_params(params, n_stages, mesh)
+
+        outs, grads = [], []
+        for c in (cfg, cfg_r):
+            encode_pp = make_pp_encode(c, mesh, n_stages)
+            taps, final = encode_pp(stage_params, rest, images)
+            outs.append((np.asarray(taps), np.asarray(final)))
+
+            def scalar(sp, enc=encode_pp):
+                t, f = enc(sp, rest, images)
+                return jnp.sum(f**2) + jnp.sum(t**2)
+
+            grads.append(jax.grad(scalar)(stage_params))
+        np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-6)
+        np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            grads[0], grads[1],
+        )
+
     def test_weights_are_stage_sharded(self):
         """Each stage's block weights live only on its pipeline rank."""
         cfg = get_preset("tiny")
