@@ -34,6 +34,8 @@ JSON line per metric, headline first:
   forward_fps_giant      — the reference's first-listed tier (1.21B params);
                            single-chip feasibility number — realtime needs
                            the sharded config (dryrun_multichip)
+  forward_fps_giant_w8a8 — giant with the int8 pipeline (SwiGLU's higher
+                           GEMM fraction doubles LARGE's quant gain)
   align_export_fps       — BASELINE config 5: two-chunk global alignment +
                            anisotropic 3DGS PLY export, frames/s
   flash_attn_tflops      — flash-attention kernel TF/s at the SLAM hot
@@ -625,6 +627,13 @@ def main() -> None:
     # sharded config is the realtime path, validated in dryrun_multichip)
     guarded("forward_fps_giant", "frames/s",
             lambda: bench_forward("giant", frames_dev, hw, n_reps=2),
+            lambda v: v / BASELINE_FPS)
+    # giant + W8A8: the SwiGLU FFN raises the GEMM fraction, so int8 pays
+    # double LARGE's gain (measured 12.9 -> 13.8 FPS, +6.6%; depth parity
+    # rel_l2 0.7%, pose exact — tools/probe_w8a8_large.py giant)
+    guarded("forward_fps_giant_w8a8", "frames/s",
+            lambda: bench_forward("giant", frames_dev, hw, n_reps=2,
+                                  quant="w8a8"),
             lambda v: v / BASELINE_FPS)
     import tempfile
 

@@ -29,11 +29,14 @@ def make_sharded_forward(
     axis: str = "dp",
     ref_idx: int = 0,
     dtype=jnp.float32,
+    jit: bool = True,
 ):
     """Build a jitted forward over ``mesh`` with views sharded on ``axis``.
 
     Returned fn: ``(params, images [N, H, W, 3]) -> prediction dict``;
-    N must divide by the axis size.
+    N must divide by the axis size.  ``jit=False`` returns the raw traced
+    body (no in_shardings) for embedding inside a larger jitted program —
+    e.g. the sp-SLAM scan (slam/pipeline.py:run_pipeline_sp).
     """
     view_spec = P(axis)
 
@@ -67,5 +70,7 @@ def make_sharded_forward(
             "rays": rays,
         }
 
+    if not jit:
+        return fwd
     in_shardings = (NamedSharding(mesh, P()), NamedSharding(mesh, view_spec))
     return jax.jit(fwd, in_shardings=in_shardings)

@@ -270,6 +270,203 @@ def _dp_run_factory(mesh, hw, cfg, align_config, attn_impl, dtype):
     return run
 
 
+class PPParams(NamedTuple):
+    """Pipeline-parallel split of the full DA3 params (see ``split_params_pp``)."""
+
+    stage_blocks: Any  # encoder blocks stacked [n_stages, per, ...], pp-sharded
+    enc_rest: Any  # patch embed / norms / tokens — replicated
+    heads: Any  # {"dpt": ..., "camera": ...} — replicated
+
+
+def split_params_pp(params: Any, n_stages: int, mesh) -> PPParams:
+    """Split full model params for ``run_pipeline_pp``.
+
+    The encoder block stack goes stage-stacked and sharded over the mesh's
+    ``pp`` axis (each device holds ``depth / n_stages`` blocks — the weight-
+    memory win that makes the giant tier's 4.5 GiB shrink per chip); embeds
+    and heads are tiny and stay replicated.  Do this ONCE per model and
+    reuse across segments — it materialises a stacked copy of the blocks.
+    """
+    from da3slam_tpu.parallel.pp_forward import split_encoder_params
+
+    stage_blocks, enc_rest = split_encoder_params(params["encoder"], n_stages, mesh)
+    heads = {"dpt": params["dpt"], "camera": params["camera"]}
+    return PPParams(stage_blocks, enc_rest, heads)
+
+
+def run_pipeline_pp(
+    params: Any,  # full params dict OR a pre-split PPParams
+    frames: jax.Array,
+    window_idx: jax.Array,  # [C, N] int32
+    anchor_idx: jax.Array,  # [C] int32
+    cfg: ModelConfig,
+    mesh,
+    align_config: AlignmentConfig = AlignmentConfig(),
+    attn_impl: str = "auto",
+    dtype=jnp.bfloat16,
+    process_hw: tuple[int, int] | None = None,
+    carry=None,
+) -> tuple[PipelineOutput, tuple]:
+    """Multi-chip SLAM with the encoder *pipeline*-parallel over stages.
+
+    The realtime configuration for tiers that don't hit framerate on one
+    chip (the giant: 12.9 FPS single-chip, tools/profile_giant.py).  Where
+    ``run_pipeline_dp`` replicates the weights and shards windows, this
+    path shards the *encoder depth* over the mesh's ``pp`` axis and feeds
+    consecutive SLAM windows through the GPipe ring as microbatches
+    (parallel/pp_forward.py) — the stages work on successive windows
+    concurrently, so per-chip weight memory drops by the stage count and
+    steady-state throughput approaches ``S ×`` the single-chip rate:
+
+      FPS(S stages, C windows/dispatch) ≈ single_chip_FPS · S · C/(C+S−1)
+
+    e.g. the giant on 4 chips at 12 windows/dispatch: 12.9 · 4 · 12/15 ≈
+    41 FPS — above the 30 FPS line with room for ICI overhead.  The DPT/
+    camera heads and the sequential depth-scale/ICP/pose-chain scan are
+    <10% of the window cost and run after the ring (phase 2, identical
+    math to ``run_pipeline`` via the shared ``_align_step``).
+
+    ``params`` may be the full model dict (split per call — fine for tests)
+    or a ``PPParams`` from ``split_params_pp`` (reuse across segments).
+    """
+    hw = process_hw if process_hw is not None else (frames.shape[1], frames.shape[2])
+    n_stages = mesh.shape["pp"]
+    if not isinstance(params, PPParams):
+        params = split_params_pp(params, n_stages, mesh)
+    fresh_start = carry is None
+    H, W = hw
+    if fresh_start:
+        carry = (
+            jnp.zeros((H, W), jnp.float32),
+            jnp.zeros((H, W), jnp.float32),
+            jnp.eye(3, dtype=jnp.float32),
+            jnp.eye(4, dtype=jnp.float32)[:3],
+        )
+    C = window_idx.shape[0]
+    is_first = jnp.zeros(C, bool).at[0].set(fresh_start)
+    run = _pp_run_factory(mesh, hw, cfg, align_config, attn_impl, dtype)
+    return run(params, frames, window_idx, anchor_idx, carry, is_first)
+
+
+@functools.lru_cache(maxsize=None)
+def _pp_run_factory(mesh, hw, cfg, align_config, attn_impl, dtype):
+    """Jitted pp runner, cached per (mesh, geometry, config)."""
+    from da3slam_tpu.models import camera as camera_mod
+    from da3slam_tpu.models import dpt as dpt_mod
+    from da3slam_tpu.parallel.pp_forward import make_pp_encode
+
+    encode_pp = make_pp_encode(cfg, mesh, mesh.shape["pp"], attn_impl, dtype)
+    grid = (hw[0] // cfg.patch_size, hw[1] // cfg.patch_size)
+
+    @jax.jit
+    def run(pp_params, frames, window_idx, anchor_idx, carry, is_first):
+        stage_blocks, enc_rest, heads = pp_params
+        # all windows' normalised images at once — the ring consumes them
+        # as microbatches ([C, N, H, W, 3]; ~48 MB/window at 16×504² f32,
+        # so segment long sequences via run_streaming_slam)
+        imgs_mb = jax.vmap(
+            lambda row: resize_normalize(jnp.take(frames, row, axis=0), hw)
+        )(window_idx)
+        taps, final = encode_pp(stage_blocks, enc_rest, imgs_mb)
+
+        def head(taps_m, final_m):
+            depth, conf, _rays = dpt_mod.apply_dpt(
+                heads["dpt"], list(taps_m), grid, hw, cfg
+            )
+            ext, K = camera_mod.apply_camera_head(
+                heads["camera"], final_m[:, 0, :], hw, 0
+            )
+            return {"depth": depth, "conf": conf,
+                    "extrinsics": ext, "intrinsics": K}
+
+        # sequential over windows: the head is <10% of the window cost and
+        # lax.map keeps its conv intermediates at the fused scan's
+        # per-window shapes instead of batching them [C, ...] in HBM
+        outs = jax.lax.map(lambda tf: head(*tf), (taps, final))
+
+        def step(c, xs):
+            out, a_idx, first = xs
+            return _align_step(c, out, a_idx, first, align_config)
+
+        final_carry, emits = jax.lax.scan(
+            step, carry, (outs, anchor_idx, is_first)
+        )
+        return PipelineOutput(*emits), final_carry
+
+    return run
+
+
+def run_pipeline_sp(
+    params: Any,
+    frames: jax.Array,
+    window_idx: jax.Array,  # [C, N] int32
+    anchor_idx: jax.Array,  # [C] int32
+    cfg: ModelConfig,
+    mesh,
+    align_config: AlignmentConfig = AlignmentConfig(),
+    attn_impl: str = "auto",  # accepted for signature parity; see note below
+    dtype=jnp.bfloat16,
+    process_hw: tuple[int, int] | None = None,
+    carry=None,
+) -> tuple[PipelineOutput, tuple]:
+    """Multi-chip SLAM with each window's *view axis* sharded (sp).
+
+    The latency-optimal sharding for tiers below realtime on one chip:
+    where ``run_pipeline_pp`` pipelines windows (throughput ≈ S×, but a
+    window's latency stays the full single-chip time), sp splits every
+    window's 16 views across the mesh — patch embed, intra-view attention,
+    MLPs and the DPT head are embarrassingly parallel over views; the
+    quadratic cross-view term runs as ring attention over ICI
+    (parallel/ring_attention.py).  Both throughput AND per-window latency
+    scale ≈ S×: the giant's 1242 ms window → ~310 ms on 4 chips ≈ 51 FPS
+    with the pose chain still sequential (it is <1% of the cost).  Weights
+    are replicated (4.49 GiB f32 giant fits each v5e), so sp is the live-
+    SLAM choice and pp the weight-memory-bound one.
+
+    ``attn_impl`` is accepted for signature parity with the dp/pp paths
+    but the sp forward fixes its own dispatch (intra-view local, cross-
+    view ``ring:<axis>``).  ``N`` (chunk_size) must divide the sp axis.
+    """
+    hw = process_hw if process_hw is not None else (frames.shape[1], frames.shape[2])
+    fresh_start = carry is None
+    H, W = hw
+    if fresh_start:
+        carry = (
+            jnp.zeros((H, W), jnp.float32),
+            jnp.zeros((H, W), jnp.float32),
+            jnp.eye(3, dtype=jnp.float32),
+            jnp.eye(4, dtype=jnp.float32)[:3],
+        )
+    C = window_idx.shape[0]
+    is_first = jnp.zeros(C, bool).at[0].set(fresh_start)
+    axis = "sp" if "sp" in mesh.axis_names else mesh.axis_names[0]
+    run = _sp_run_factory(mesh, axis, hw, cfg, align_config, dtype)
+    return run(params, frames, window_idx, anchor_idx, carry, is_first)
+
+
+@functools.lru_cache(maxsize=None)
+def _sp_run_factory(mesh, axis, hw, cfg, align_config, dtype):
+    """Jitted sp runner, cached per (mesh, geometry, config)."""
+    from da3slam_tpu.parallel.sp_forward import make_sharded_forward
+
+    sp_fwd = make_sharded_forward(cfg, mesh, axis=axis, dtype=dtype, jit=False)
+
+    @jax.jit
+    def run(params, frames, window_idx, anchor_idx, carry, is_first):
+        def chunk_step(c, xs):
+            idx_row, a_idx, first = xs
+            imgs = resize_normalize(jnp.take(frames, idx_row, axis=0), hw)
+            out = sp_fwd(params, imgs)
+            return _align_step(c, out, a_idx, first, align_config)
+
+        final_carry, emits = jax.lax.scan(
+            chunk_step, carry, (window_idx, anchor_idx, is_first)
+        )
+        return PipelineOutput(*emits), final_carry
+
+    return run
+
+
 def run_streaming_slam(
     params: Any,
     frames,  # [T, H, W, 3] uint8 (numpy or device array)
@@ -284,6 +481,7 @@ def run_streaming_slam(
     segment_spill: str = "host",
     spill_dtype=None,
     mesh=None,
+    parallel: str = "dp",
 ) -> PipelineOutput:
     """Host convenience wrapper: window indexing + the scan pipeline.
 
@@ -305,16 +503,29 @@ def run_streaming_slam(
     at ~32 MB per 16-frame window in f32).  None keeps the bit-exact f32
     path.
 
-    ``mesh`` switches to the multi-chip pipeline (``run_pipeline_dp``):
-    window forwards shard over the mesh's ``dp`` axis, the pose chain
-    scans sequentially over the small forward outputs.
+    ``mesh`` switches to a multi-chip pipeline, chosen by ``parallel``:
+    ``"dp"`` (``run_pipeline_dp``) shards window forwards over the mesh's
+    ``dp`` axis — replicated weights, best throughput when the model fits
+    one chip; ``"pp"`` (``run_pipeline_pp``) pipelines the encoder depth
+    over the mesh's ``pp`` axis with windows as GPipe microbatches —
+    weight memory shards by stage; ``"sp"`` (``run_pipeline_sp``) shards
+    each window's view axis with ring cross-view attention — the latency-
+    optimal live-SLAM configuration for below-realtime tiers.
     """
+    if parallel not in ("dp", "pp", "sp"):
+        raise ValueError(f"parallel must be 'dp', 'pp' or 'sp', got {parallel!r}")
     T = frames.shape[0]
     idx, anchors = make_windows(T, chunk_size, overlap)
 
+    if mesh is not None and parallel == "pp":
+        # split once; every segment reuses the stage-sharded weights
+        params = split_params_pp(params, mesh.shape["pp"], mesh)
+
     def run_segment(seg_frames, seg_idx, seg_anchors, carry):
         if mesh is not None:
-            out, c = run_pipeline_dp(
+            runner = {"dp": run_pipeline_dp, "pp": run_pipeline_pp,
+                      "sp": run_pipeline_sp}[parallel]
+            out, c = runner(
                 params, seg_frames, seg_idx, seg_anchors, cfg, mesh,
                 align_config, attn_impl, dtype, process_hw, carry=carry,
             )

@@ -262,3 +262,100 @@ class TestDPPipeline:
                                  segment_windows=2, **kw)
         np.testing.assert_allclose(np.asarray(full.depth), np.asarray(seg.depth),
                                    atol=1e-4)
+
+
+class TestPPPipeline:
+    @pytest.mark.slow
+    def test_pp_pipelined_matches_fused_scan(self):
+        """Pipeline-parallel mode (encoder stages over pp, windows as GPipe
+        microbatches, heads + alignment after the ring — the giant-tier
+        realtime configuration) must reproduce the fused scan."""
+        from jax.sharding import Mesh
+
+        model = DepthAnything3.from_pretrained("tiny")
+        rng = np.random.default_rng(0)
+        base = rng.integers(40, 200, size=(56, 70, 3))
+        frames = np.stack([
+            np.clip(np.roll(base, i * 2, axis=1) + rng.integers(0, 20, (56, 70, 3)), 0, 255)
+            for i in range(16)
+        ]).astype(np.uint8)
+        from da3slam_tpu.slam.alignment import AlignmentConfig
+
+        kw = dict(chunk_size=4, overlap=1, process_hw=(56, 70), dtype=jnp.float32,
+                  attn_impl="xla",
+                  align_config=AlignmentConfig(method="umeyama"))
+
+        full = run_streaming_slam(model.params, frames, model.cfg, **kw)
+        mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("pp",))
+        pp = run_streaming_slam(model.params, frames, model.cfg, mesh=mesh,
+                                parallel="pp", **kw)
+        # ppermute/ring execution reorders f32 reductions: drift is value-
+        # proportional, so pair the atol with an rtol
+        np.testing.assert_allclose(np.asarray(full.depth), np.asarray(pp.depth),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(full.extrinsics_global), np.asarray(pp.extrinsics_global),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(np.asarray(full.depth_scale),
+                                   np.asarray(pp.depth_scale), rtol=1e-5)
+
+        # segmented + pp composes (the long-sequence giant configuration):
+        # carry threads across segments, stage split happens once
+        seg = run_streaming_slam(model.params, frames, model.cfg, mesh=mesh,
+                                 parallel="pp", segment_windows=2, **kw)
+        np.testing.assert_allclose(np.asarray(full.depth), np.asarray(seg.depth),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(full.extrinsics_global),
+            np.asarray(seg.extrinsics_global), atol=1e-4,
+        )
+
+    def test_parallel_kwarg_validated(self):
+        model = DepthAnything3.from_pretrained("tiny")
+        frames = np.zeros((8, 28, 28, 3), np.uint8)
+        with pytest.raises(ValueError, match="parallel"):
+            run_streaming_slam(model.params, frames, model.cfg, chunk_size=4,
+                               overlap=1, parallel="tp")
+
+
+class TestSPPipeline:
+    @pytest.mark.slow
+    def test_sp_sharded_matches_fused_scan(self):
+        """Sequence-parallel mode (each window's view axis sharded, ring
+        cross-view attention — the latency-optimal live-SLAM configuration)
+        must reproduce the fused scan."""
+        from jax.sharding import Mesh
+
+        model = DepthAnything3.from_pretrained("tiny")
+        rng = np.random.default_rng(0)
+        base = rng.integers(40, 200, size=(56, 70, 3))
+        frames = np.stack([
+            np.clip(np.roll(base, i * 2, axis=1) + rng.integers(0, 20, (56, 70, 3)), 0, 255)
+            for i in range(16)
+        ]).astype(np.uint8)
+        from da3slam_tpu.slam.alignment import AlignmentConfig
+
+        kw = dict(chunk_size=4, overlap=1, process_hw=(56, 70), dtype=jnp.float32,
+                  attn_impl="xla",
+                  align_config=AlignmentConfig(method="umeyama"))
+
+        full = run_streaming_slam(model.params, frames, model.cfg, **kw)
+        mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("sp",))
+        sp = run_streaming_slam(model.params, frames, model.cfg, mesh=mesh,
+                                parallel="sp", **kw)
+        # ring attention reorders the softmax accumulation: f32 drift only
+        np.testing.assert_allclose(np.asarray(full.depth), np.asarray(sp.depth),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(full.extrinsics_global), np.asarray(sp.extrinsics_global),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(np.asarray(full.depth_scale),
+                                   np.asarray(sp.depth_scale), rtol=1e-5)
+
+        # segmented + sp composes
+        seg = run_streaming_slam(model.params, frames, model.cfg, mesh=mesh,
+                                 parallel="sp", segment_windows=2, **kw)
+        np.testing.assert_allclose(np.asarray(full.depth), np.asarray(seg.depth),
+                                   atol=1e-4, rtol=1e-4)
