@@ -47,6 +47,28 @@ def pose_loss(pred_ext, gt_ext):
     return jnp.mean((pred_ext - gt_ext) ** 2)
 
 
+
+def _commit_state(tx, state: "TrainState", mesh: Mesh) -> "TrainState":
+    """Commit every TrainState leaf to an explicit sharding.
+
+    ``tx.init`` creates uncommitted arrays; saving and restoring a
+    checkpoint then pins them to one device, which clashes with the
+    mesh-sharded params inside the donated step jit ("incompatible
+    devices").  Optimizer moments mirror their parameter's sharding (the
+    memory-correct layout: sharded params get sharded moments); scalar
+    leaves (optimizer ``count``, ``step``) replicate over the mesh.
+    """
+    rep = replicated(mesh)
+    opt_state = optax.tree_map_params(
+        tx,
+        lambda o, p: jax.device_put(o, p.sharding),
+        state.opt_state,
+        state.params,
+        transform_non_params=lambda x: jax.device_put(x, rep),
+    )
+    return TrainState(state.params, opt_state, jax.device_put(state.step, rep))
+
+
 def make_train_step(
     cfg: ModelConfig,
     mesh: Mesh,
@@ -79,7 +101,9 @@ def make_train_step(
         params = init_params(jax.random.PRNGKey(seed), cfg)
         params = jax.device_put(params, p_shard(params))
         opt_state = tx.init(params)
-        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        return _commit_state(
+            tx, TrainState(params, opt_state, jnp.zeros((), jnp.int32)), mesh
+        )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, batch) -> tuple[TrainState, jax.Array]:
@@ -156,7 +180,9 @@ def make_sp_train_step(
         params = init_params(jax.random.PRNGKey(seed), cfg)
         params = jax.device_put(params, replicated(mesh))
         opt_state = tx.init(params)
-        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        return _commit_state(
+            tx, TrainState(params, opt_state, jnp.zeros((), jnp.int32)), mesh
+        )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, batch) -> tuple[TrainState, jax.Array]:
@@ -227,7 +253,9 @@ def make_pp_train_step(
         rest = jax.device_put(rest, replicated(mesh))
         dpt_params = jax.device_put(full["dpt"], replicated(mesh))
         params = (stage_params, rest, dpt_params)
-        return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        return _commit_state(
+            tx, TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), mesh
+        )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, batch) -> tuple[TrainState, jax.Array]:

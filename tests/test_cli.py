@@ -1,5 +1,7 @@
 """CLI + export tests, driven through the argparse mains with the tiny model."""
 
+import json
+
 import numpy as np
 import pytest
 from PIL import Image
@@ -219,3 +221,76 @@ class TestMainVideo:
             "--config", str(cfg), "--mode", "slam", "--headless",
         ])
         assert (out / "slam" / "camera_poses.txt").exists()
+
+
+class TestTrainCLI:
+    """cli/train.py — the training subsystem's user-facing entry point."""
+
+    def test_dp_train_and_resume(self, tmp_path, capsys):
+        from da3slam_tpu.cli.train import main
+
+        ckpt = tmp_path / "run1"
+        main(["--preset", "tiny", "--mode", "dp", "--steps", "4",
+              "--batch", "2", "--views", "2", "--hw", "28", "28",
+              "--devices", "2", "--tp", "1",
+              "--ckpt_dir", str(ckpt), "--ckpt_every", "2",
+              "--log_every", "1"])
+        out = capsys.readouterr().out
+        lines = [json.loads(l) for l in out.splitlines()
+                 if l.startswith("{")]
+        final = [l for l in lines if "final_step" in l][0]
+        assert final["final_step"] == 4
+        assert np.isfinite(final["final_loss"])
+        assert (ckpt / "latest").exists()
+
+        # resume continues from the saved step, not from scratch
+        main(["--preset", "tiny", "--mode", "dp", "--steps", "6",
+              "--batch", "2", "--views", "2", "--hw", "28", "28",
+              "--devices", "2", "--tp", "1",
+              "--ckpt_dir", str(ckpt), "--ckpt_every", "100",
+              "--resume", "--log_every", "0"])
+        out = capsys.readouterr().out
+        assert "resumed step 4" in out
+        lines = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+        final = [l for l in lines if "final_step" in l][0]
+        assert final["final_step"] == 6
+
+    def test_sp_and_pp_modes_smoke(self, capsys):
+        from da3slam_tpu.cli.train import main
+
+        main(["--preset", "tiny", "--mode", "sp", "--steps", "2",
+              "--views", "4", "--hw", "28", "28", "--devices", "2",
+              "--log_every", "1"])
+        out = capsys.readouterr().out
+        assert '"mode": "sp"' in out
+        final = [json.loads(l) for l in out.splitlines()
+                 if l.startswith("{") and "final_step" in l][0]
+        assert np.isfinite(final["final_loss"])
+
+        main(["--preset", "tiny", "--mode", "pp", "--stages", "2",
+              "--steps", "2", "--batch", "3", "--views", "2",
+              "--hw", "28", "28", "--log_every", "1"])
+        out = capsys.readouterr().out
+        assert '"mode": "pp"' in out
+        final = [json.loads(l) for l in out.splitlines()
+                 if l.startswith("{") and "final_step" in l][0]
+        assert np.isfinite(final["final_loss"])
+
+    def test_npz_data_shards(self, tmp_path, capsys):
+        from da3slam_tpu.cli.train import main
+
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            np.savez(tmp_path / f"shard_{i}.npz",
+                     images=rng.normal(size=(2, 2, 28, 28, 3)).astype("float32"),
+                     depth=rng.uniform(0.5, 3.0, size=(2, 2, 28, 28)).astype("float32"),
+                     extrinsics=np.tile(np.eye(4, dtype="float32")[:3],
+                                        (2, 2, 1, 1)))
+        main(["--preset", "tiny", "--mode", "dp", "--steps", "3",
+              "--devices", "2", "--tp", "1",
+              "--data", str(tmp_path), "--hw", "28", "28",
+              "--log_every", "1"])
+        out = capsys.readouterr().out
+        final = [json.loads(l) for l in out.splitlines()
+                 if l.startswith("{") and "final_step" in l][0]
+        assert final["final_step"] == 3

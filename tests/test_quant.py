@@ -124,3 +124,41 @@ class TestQuantizedEncoder:
         model = DepthAnything3.from_pretrained("tiny")
         with pytest.raises(ValueError):
             model.quantize("w4a16")
+
+
+class TestQuantComposesWithPP:
+    @pytest.mark.parametrize("mlp_type", ["mlp", "swiglu"])
+    def test_pp_encode_on_quantized_blocks(self, mlp_type):
+        """The giant's realtime configuration composes pp x W8A8: stage-
+        stacked QUANTIZED blocks through the GPipe ring must match the
+        sequential quantized encoder (the structural dispatch in vit._block
+        survives the stage stacking/unstacking)."""
+        from jax.sharding import Mesh
+
+        from da3slam_tpu.models.config import get_preset
+        from da3slam_tpu.parallel.pp_forward import (
+            make_pp_encode,
+            split_encoder_params,
+        )
+
+        cfg = get_preset("tiny").with_overrides(mlp_type=mlp_type)
+        enc = vit.init_encoder(jax.random.PRNGKey(0), cfg)
+        qenc = quantize_encoder_params(enc)
+        rng = np.random.default_rng(1)
+        imgs = jnp.asarray(rng.normal(size=(3, 2, 28, 28, 3)), jnp.float32)
+
+        def seq_one(im):
+            taps, final, _ = vit.encode(qenc, im, cfg, attn_impl="xla")
+            return jnp.stack(taps), final
+
+        taps_seq, final_seq = jax.vmap(seq_one)(imgs)
+
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("pp",))
+        stage_params, rest = split_encoder_params(qenc, 2, mesh)
+        encode_pp = make_pp_encode(cfg, mesh, 2)
+        taps_pp, final_pp = encode_pp(stage_params, rest, imgs)
+
+        np.testing.assert_allclose(np.asarray(final_pp), np.asarray(final_seq),
+                                   atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(taps_pp), np.asarray(taps_seq),
+                                   atol=2e-5, rtol=2e-5)
