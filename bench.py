@@ -26,6 +26,9 @@ JSON line per metric, headline first:
   preprocess_fps         — BASELINE config 2: fused crop + CLAHE-chain
                            brightness + resize + normalize over 16-frame
                            batches (preprocess/device.py)
+  host_ingest_fps        — host JPEG decode through the threaded
+                           ImagePrefetcher (inout/prefetch.py) in SLAM
+                           chunks; overlaps device compute in the solver
   forward_fps_base       — BASE-tier 16-frame chunk forward (config 3 at
                            the bigger tier)
   forward_fps_large      — LARGE-tier 16-frame chunk forward
@@ -332,6 +335,41 @@ def bench_single_frame_latency(model, frames_dev, hw, n_reps=10) -> float:
     return (time.perf_counter() - t0) / n_reps * 1e3
 
 
+def bench_host_ingest(frames, n_reps=3) -> float:
+    """Host-side JPEG ingest rate: decode through the solver's background
+    ``ImagePrefetcher`` (inout/prefetch.py) in the SLAM loop's 16-frame
+    chunks.  Device upload is excluded for the same reason the suite
+    stages frames in HBM up front — this environment's host→device link
+    is a ~40 MB/s dev tunnel, not the co-located PCIe DMA a deployment
+    rides.  In the pipelined solver decode overlaps device compute, so
+    the system rate is min(compute FPS, this).  The reference decodes
+    synchronously inside ``model.inference`` (solver.py:163)."""
+    import tempfile
+
+    from PIL import Image
+
+    from da3slam_tpu.inout.prefetch import ImagePrefetcher
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i, f in enumerate(np.asarray(frames)):
+            p = f"{td}/{i:06d}.jpg"
+            Image.fromarray(f).save(p, quality=90)
+            paths.append(p)
+        best = 0.0
+        for _ in range(n_reps):  # fresh prefetcher per rep: no warm cache
+            pf = ImagePrefetcher(paths)
+            t0 = time.perf_counter()
+            n = 0
+            for s in range(0, len(paths) - 15, 15):  # stride = chunk - overlap
+                batch = pf.get_batch(paths[s : s + 16])
+                n += batch.shape[0]
+            dt = time.perf_counter() - t0
+            pf.close()
+            best = max(best, n / dt)
+    return best
+
+
 def bench_preprocess_fps(frames_dev, hw, n_reps=20) -> float:
     """BASELINE config 2: the fused ingest kernel (crop + LAB/CLAHE-chain
     brightness normalization + resize + ImageNet normalize) over 16-frame
@@ -611,6 +649,12 @@ def main() -> None:
             lambda v: (1e3 / BASELINE_FPS) / max(v, 1e-9))
     guarded("preprocess_fps", "frames/s",
             lambda: bench_preprocess_fps(frames_dev, hw),
+            lambda v: v / BASELINE_FPS)
+    # host-side ingest (threaded JPEG decode through ImagePrefetcher):
+    # in the pipelined solver decode overlaps device compute, so the
+    # system rate is min(compute, this) — it must clear the e2e number
+    guarded("host_ingest_fps", "frames/s",
+            lambda: bench_host_ingest(frames),
             lambda v: v / BASELINE_FPS)
     for preset in ("base", "large"):
         guarded(f"forward_fps_{preset}", "frames/s",

@@ -17,16 +17,24 @@ import numpy as np
 
 
 class ImagePrefetcher:
-    def __init__(self, paths: list[str], lookahead: int = 32):
+    def __init__(self, paths: list[str], lookahead: int = 32, workers: int = 4):
         self.paths = list(paths)
         self.lookahead = lookahead
         self._cache: OrderedDict[str, np.ndarray] = OrderedDict()
         self._cursor = 0  # consumer position (frames before this can be evicted)
-        self._next = 0  # worker position (frames below this are decoded)
+        self._next = 0  # next index a worker will CLAIM
+        self._pending: set[int] = set()  # claimed, decode in flight
         self._cond = threading.Condition()
         self._stop = False
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        # several decode workers: PIL's JPEG decode releases the GIL in C,
+        # so threads scale it — single-threaded decode (~110 FPS at 504^2)
+        # would otherwise cap the pipelined solver below the device rate
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(max(1, workers))
+        ]
+        for t in self._threads:
+            t.start()
 
     def _decode(self, path: str) -> np.ndarray:
         from PIL import Image
@@ -34,24 +42,26 @@ class ImagePrefetcher:
         return np.asarray(Image.open(path).convert("RGB"))
 
     def _worker(self) -> None:
-        i = 0
         while True:
             with self._cond:
                 while not self._stop and (
-                    i >= len(self.paths) or i - self._cursor >= self.lookahead
+                    self._next >= len(self.paths)
+                    or self._next - self._cursor >= self.lookahead
                 ):
-                    if i >= len(self.paths):
+                    if self._next >= len(self.paths):
                         return
                     self._cond.wait(timeout=0.2)
                 if self._stop:
                     return
+                i = self._next  # claim the next undecoded index
+                self._next = i + 1
+                self._pending.add(i)
                 path = self.paths[i]
             frame = self._decode(path)
             with self._cond:
                 self._cache[path] = frame
-                self._next = i + 1  # worker progress: frames < _next are done
+                self._pending.discard(i)
                 self._cond.notify_all()
-            i += 1
 
     def get_batch(self, paths: list[str]) -> np.ndarray:
         """Fetch decoded frames: waits for the background thread when the
@@ -71,11 +81,19 @@ class ImagePrefetcher:
                 # the worker WILL produce idx iff it hasn't passed it yet and
                 # it lies inside the lookahead window; anything else (evicted,
                 # out of window, unknown path) decodes inline
+                def will_come():
+                    # a worker will produce idx iff it is unclaimed inside
+                    # the lookahead window, or its decode is in flight
+                    return (
+                        self._next <= idx < self._cursor + self.lookahead
+                        or idx in self._pending
+                    )
+
                 while (
                     frame is None
-                    and self._next <= idx < self._cursor + self.lookahead
+                    and will_come()
                     and not self._stop
-                    and self._thread.is_alive()
+                    and any(t.is_alive() for t in self._threads)
                 ):
                     self._cond.wait(timeout=0.1)
                     frame = self._cache.get(p)
@@ -96,4 +114,5 @@ class ImagePrefetcher:
         with self._cond:
             self._stop = True
             self._cond.notify_all()
-        self._thread.join(timeout=1.0)
+        for t in self._threads:
+            t.join(timeout=1.0)

@@ -145,9 +145,9 @@ def make_pp_encode(
         local ``[1, per, ...]``.  GPipe schedule over M + S - 1 ticks."""
         stage_id = jax.lax.axis_index("pp")
         M = x_mb.shape[0]
-        # mark the carry buffers device-varying over pp up front, or the
-        # scan's carry-type check rejects the unvarying→varying promotion
-        vary = lambda a: jax.lax.pcast(a, ("pp",), to="varying")  # noqa: E731
+        # vma checking is off (see shard_map below), so the carry buffers
+        # need no explicit unvarying→varying pcast promotion
+        vary = lambda a: a  # noqa: E731
         zeros_x = vary(jnp.zeros_like(x_mb[0]))
         outs_x = vary(jnp.zeros((M,) + x_mb.shape[1:], x_mb.dtype))
         outs_taps = vary(jnp.zeros((M, n_taps) + x_mb.shape[1:], x_mb.dtype))
@@ -190,6 +190,10 @@ def make_pp_encode(
         mesh=mesh,
         in_specs=(P("pp"), P()),
         out_specs=(P("pp"), P("pp")),
+        # the Pallas flash kernel's output ShapeDtypeStructs carry no vma
+        # annotation, which trips the varying-axes checker on TPU when
+        # attn_impl resolves to flash (same as run_pipeline_dp's forward)
+        check_vma=False,
     )
 
     @functools.partial(jax.jit, static_argnames=())
