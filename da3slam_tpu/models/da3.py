@@ -218,6 +218,7 @@ class DepthAnything3:
         align_to_input_ext_scale: bool = False,
         export_dir: str | None = None,
         export_format: str = "mini_npz",
+        keep_on_device: bool = False,
     ) -> Prediction:
         """Reference-contract inference over one chunk of views.
 
@@ -225,10 +226,25 @@ class DepthAnything3:
         (SURVEY.md §2.5).  ``use_ray_pose=True`` recovers poses from the
         dense ray maps (depth-ray representation) instead of the camera
         token head.
+
+        ``keep_on_device=True`` leaves the dense outputs (depth / conf /
+        processed_images) as device arrays instead of fetching them to host
+        — the TPU-first contract extension: the SLAM solver's alignment step
+        consumes them on-device (slam/alignment.py), so the ~44 MB/chunk
+        device→host round-trip the reference pays
+        (solver.py:163 ``.cpu().numpy()`` semantics) is skipped entirely;
+        host code fetches lazily via ``np.asarray`` only where it actually
+        needs pixels (viewer, export).
         """
         if process_res_method != "upper_bound_resize":
             raise ValueError(f"unsupported process_res_method {process_res_method!r}")
-        raw = _load_images(image)
+        if isinstance(image, jax.Array):
+            # device-staged uint8 batch (ImagePrefetcher stage_chunks path):
+            # the host→device upload already happened, overlapped with the
+            # previous chunk's compute — consume it where it lives
+            raw = image if image.ndim == 4 else image[None]
+        else:
+            raw = _load_images(image)
         h, w = raw.shape[1], raw.shape[2]
         th, tw = upper_bound_shape(h, w, process_res, self.cfg.patch_size)
         norm = resize_normalize(jnp.asarray(raw), (th, tw))
@@ -246,14 +262,32 @@ class DepthAnything3:
                 depth = depth * _pose_scale_ratio(ext_in, ext)
             ext = ext_in
 
-        pred = Prediction(
-            processed_images=np.asarray(denormalize_to_uint8(norm)),
-            depth=np.asarray(depth, np.float32),
-            conf=np.asarray(out["conf"], np.float32),
-            extrinsics=np.asarray(ext, np.float32),
-            intrinsics=np.asarray(out["intrinsics"], np.float32),
-            frame_desc=np.asarray(out["frame_desc"], np.float32),
-        )
+        if keep_on_device:
+            # EVERY field stays a device array and inference returns without
+            # waiting for the forward: the dispatch is asynchronous, so the
+            # caller's next host step (e.g. decoding the following chunk)
+            # overlaps the device compute, and the consumer's first real
+            # fetch (np.asarray / device_get) is the one synchronisation
+            # point per chunk.  A fetch here would re-serialise host and
+            # device every chunk (~100+ ms sync round through the dev
+            # tunnel; still a queue flush on co-located PCIe).
+            pred = Prediction(
+                processed_images=denormalize_to_uint8(norm),
+                depth=depth.astype(jnp.float32),
+                conf=out["conf"].astype(jnp.float32),
+                extrinsics=ext.astype(jnp.float32),
+                intrinsics=out["intrinsics"].astype(jnp.float32),
+                frame_desc=out["frame_desc"].astype(jnp.float32),
+            )
+        else:
+            pred = Prediction(
+                processed_images=np.asarray(denormalize_to_uint8(norm)),
+                depth=np.asarray(depth, np.float32),
+                conf=np.asarray(out["conf"], np.float32),
+                extrinsics=np.asarray(ext, np.float32),
+                intrinsics=np.asarray(out["intrinsics"], np.float32),
+                frame_desc=np.asarray(out["frame_desc"], np.float32),
+            )
         if export_dir is not None:
             _export(pred, export_dir, export_format)
         return pred

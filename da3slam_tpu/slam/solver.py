@@ -27,6 +27,18 @@ from da3slam_tpu.inout.images import extract_keyframes, load_image_paths
 from da3slam_tpu.slam.alignment import AlignmentConfig, align_chunk_single_overlap
 
 
+@functools.lru_cache(maxsize=None)
+def _aligner_for(config: AlignmentConfig):
+    """Process-wide jitted aligner keyed by the (frozen, hashable) config.
+
+    Without this every SLAMSolver instance re-jits its own
+    ``functools.partial`` wrapper — a fresh ~10 s trace+compile per solver
+    even when an identically-configured one already ran in this process
+    (bench reruns, multi-sequence batch jobs).
+    """
+    return jax.jit(functools.partial(align_chunk_single_overlap, config=config))
+
+
 class SLAMSolver:
     def __init__(self, image_dir: str, config: dict, model: Any = None, viewer: Any = "auto"):
         self.config = config
@@ -36,7 +48,16 @@ class SLAMSolver:
         self.keyframe_interval = model_cfg.get("keyframe_interval", 1)
         self.sleep_between_chunk = model_cfg.get("sleep_between_chunk", 0)
         self.prefetch = model_cfg.get("prefetch", None)
+        # device-resident mode: dense prediction maps (depth/conf/images)
+        # stay on the TPU; alignment consumes them there and the host only
+        # fetches per-frame slices the viewer/export actually needs.  This
+        # removes the ~44 MB/chunk device→host round-trip the reference's
+        # loop pays by materialising every output on CPU (solver.py:163).
+        self.device_resident = model_cfg.get("device_resident", False)
         self._prefetcher = None
+        # (tag, depth_scale, fitness, rmse) device scalars awaiting the
+        # single end-of-run fetch (device-resident mode, no loop closer)
+        self._deferred_stats: List[tuple] = []
         self.image_dir = image_dir
 
         self.chunk_count = 0
@@ -51,9 +72,7 @@ class SLAMSolver:
         self.align_config = AlignmentConfig(**align_cfg)
         # anchor_idx stays a traced argument so the re-anchored tail window
         # (whose anchor sits deeper into the chunk) reuses this compilation
-        self._align_jit = jax.jit(
-            functools.partial(align_chunk_single_overlap, config=self.align_config)
-        )
+        self._align_jit = _aligner_for(self.align_config)
 
         self.model = model if model is not None else self._load_model()
         if self.prefetch is None:
@@ -121,22 +140,31 @@ class SLAMSolver:
             image = self._prefetcher.get_batch(chunk_image_paths)
         else:
             image = chunk_image_paths
+        kwargs = {"keep_on_device": True} if self.device_resident else {}
         pred = self.model.inference(
             image=image,
             process_res_method="upper_bound_resize",
+            **kwargs,
         )
+        if self._prefetcher is not None:
+            # this chunk's forward is now queued on the device — start the
+            # NEXT chunk's image upload so the transfer rides under it
+            self._prefetcher.stage_next()
+        # in device-resident mode the dense maps stay as device arrays
+        # (lazy host fetch via np.asarray only where pixels are consumed)
+        dense = (lambda a: a) if self.device_resident else np.asarray
         out = {
             "chunk_idx": self.chunk_count,
             "image_paths": chunk_image_paths,
-            "processed_images": np.asarray(pred.processed_images),
-            "depth": np.asarray(pred.depth),
-            "conf": np.asarray(pred.conf),
-            "extrinsics": np.asarray(pred.extrinsics),
-            "intrinsics": np.asarray(pred.intrinsics),
+            "processed_images": dense(pred.processed_images),
+            "depth": dense(pred.depth),
+            "conf": dense(pred.conf),
+            "extrinsics": dense(pred.extrinsics),
+            "intrinsics": dense(pred.intrinsics),
         }
         fd = getattr(pred, "frame_desc", None)
         if fd is not None:
-            out["frame_desc"] = np.asarray(fd, np.float32)
+            out["frame_desc"] = dense(fd)
         return out
 
     # -- alignment ---------------------------------------------------------
@@ -160,6 +188,29 @@ class SLAMSolver:
             cur_extrinsics=cur["extrinsics"],
             prev_overlap_global=self.prev_overlap_aligned_3x4,
         )
+        if self.device_resident:
+            # the scaled depth and the carry (previous overlap frame's
+            # global pose) never leave the device, and — when nothing on the
+            # host needs them this chunk (no loop closer) — neither do the
+            # stats or global poses: everything stays an asynchronously
+            # dispatched device value, so the steady-state loop never blocks
+            # on the device at all (each per-chunk sync is a ~100+ ms round
+            # through the dev tunnel; 4-6 of them dominated the align stage).
+            # Deferred values are fetched in ONE batch at the end of run().
+            cur["depth"] = out.depth_scaled
+            self.prev_overlap_aligned_3x4 = out.prev_overlap_for_next
+            cur["extrinsics_global"] = out.extrinsics_global
+            if self.loop_closer is None:
+                return (out.depth_scale, out.transform.R, out.transform.t,
+                        out.fitness, out.inlier_rmse)
+            # loop closure consumes host poses/scales every chunk: one
+            # batched fetch (still a single sync, not six)
+            eg, s, R, t, fitness, rmse = jax.device_get(
+                (out.extrinsics_global, out.depth_scale, out.transform.R,
+                 out.transform.t, out.fitness, out.inlier_rmse)
+            )
+            cur["extrinsics_global"] = np.asarray(eg)
+            return float(s), np.asarray(R), np.asarray(t), float(fitness), float(rmse)
         cur["depth"] = np.asarray(out.depth_scaled)
         cur["extrinsics_global"] = np.asarray(out.extrinsics_global)
         self.prev_overlap_aligned_3x4 = np.asarray(out.prev_overlap_for_next)
@@ -203,13 +254,19 @@ class SLAMSolver:
             print("warn: no extrinsics_global; falling back to local extrinsics")
             ext_global = chunk_prediction["extrinsics"]
         n = len(chunk_prediction["image_paths"])
+        # one host fetch per chunk (device-resident arrays materialise here;
+        # already-numpy inputs pass through at zero cost)
+        imgs = np.asarray(chunk_prediction["processed_images"])
+        depth = np.asarray(chunk_prediction["depth"])
+        conf = np.asarray(chunk_prediction["conf"])
+        intr = np.asarray(chunk_prediction["intrinsics"])
         for i in range(start, n):
             self.viewer.add_frame(
-                image=chunk_prediction["processed_images"][i],
-                depth=chunk_prediction["depth"][i],
-                conf=chunk_prediction["conf"][i],
+                image=imgs[i],
+                depth=depth[i],
+                conf=conf[i],
                 extrinsic=ext_global[i],
-                intrinsic=chunk_prediction["intrinsics"][i],
+                intrinsic=intr[i],
             )
 
     # -- main loop ---------------------------------------------------------
@@ -225,18 +282,26 @@ class SLAMSolver:
         depth_scale = 1.0
         if self.chunk_count == 0:
             # first chunk defines the global frame (solver.py:206-211)
-            cur["extrinsics_global"] = cur["extrinsics"].astype(np.float64)
+            cur["extrinsics_global"] = np.asarray(cur["extrinsics"]).astype(np.float64)
             self.prev_overlap_aligned_3x4 = cur["extrinsics_global"][-1].astype(np.float32)
         else:
             with self.timer("align"):
                 s, R, t, fitness, rmse = self.process_chunk_alignment(
                     self.prev_chunk_prediction, cur
                 )
-            depth_scale = s
-            print(
-                f"  chunk {self.chunk_count}: depth_scale={s:.4f} "
-                f"fitness={fitness:.4f} inlier_rmse={rmse:.5f}"
-            )
+            if isinstance(s, float):
+                depth_scale = s
+                print(
+                    f"  chunk {self.chunk_count}: depth_scale={s:.4f} "
+                    f"fitness={fitness:.4f} inlier_rmse={rmse:.5f}"
+                )
+            else:
+                # device scalars: formatting them would force a sync round;
+                # report at end of run in one batched fetch.  depth_scale is
+                # only consumed by the loop stage, which forces the float path.
+                self._deferred_stats.append(
+                    (f"chunk {self.chunk_count}", s, fitness, rmse)
+                )
 
         self.results.append(
             {
@@ -285,7 +350,7 @@ class SLAMSolver:
             chunk_paths = list(image_paths)
             with self.timer("inference"):
                 cur = self.run_single_chunk_prediction(chunk_paths)
-            cur["extrinsics_global"] = cur["extrinsics"].astype(np.float64)
+            cur["extrinsics_global"] = np.asarray(cur["extrinsics"]).astype(np.float64)
             self.prev_overlap_aligned_3x4 = cur["extrinsics_global"][-1].astype(
                 np.float32
             )
@@ -302,11 +367,16 @@ class SLAMSolver:
                 s, _R, _t, fitness, rmse = self.process_chunk_alignment(
                     self.prev_chunk_prediction, cur, anchor_idx=anchor_idx
                 )
-            depth_scale = s
-            print(
-                f"  tail chunk ({n_new} new frames): depth_scale={s:.4f} "
-                f"fitness={fitness:.4f} inlier_rmse={rmse:.5f}"
-            )
+            if isinstance(s, float):
+                depth_scale = s
+                print(
+                    f"  tail chunk ({n_new} new frames): depth_scale={s:.4f} "
+                    f"fitness={fitness:.4f} inlier_rmse={rmse:.5f}"
+                )
+            else:
+                self._deferred_stats.append(
+                    (f"tail chunk ({n_new} new frames)", s, fitness, rmse)
+                )
             dedup_skip = self.chunk_size - n_new
 
         self.results.append(
@@ -327,6 +397,29 @@ class SLAMSolver:
         self.frame_buffer.clear()
         self.chunk_count += 1
 
+    def _materialize(self) -> None:
+        """End-of-run host materialisation for device-resident mode.
+
+        One batched ``device_get`` brings back every deferred per-chunk
+        stat and every chunk's global poses + intrinsics — a single device
+        sync for the whole sequence instead of 4-6 per chunk.
+        """
+        if self._deferred_stats:
+            vals = jax.device_get([(s, f, r) for _, s, f, r in self._deferred_stats])
+            for (tag, *_), (s, f, r) in zip(self._deferred_stats, vals):
+                print(
+                    f"  {tag}: depth_scale={float(s):.4f} "
+                    f"fitness={float(f):.4f} inlier_rmse={float(r):.5f}"
+                )
+            self._deferred_stats.clear()
+        if self.device_resident and self.results:
+            fetched = jax.device_get(
+                [(r["extrinsics_global"], r["intrinsics"]) for r in self.results]
+            )
+            for r, (eg, K) in zip(self.results, fetched):
+                r["extrinsics_global"] = np.asarray(eg)
+                r["intrinsics"] = np.asarray(K)
+
     def run(self) -> None:
         image_paths = load_image_paths(self.image_dir)
         if not image_paths:
@@ -337,14 +430,27 @@ class SLAMSolver:
               f"(chunk_size={self.chunk_size}, overlap={self.overlap_size})")
         if self.prefetch:
             from da3slam_tpu.inout.prefetch import ImagePrefetcher
+            from da3slam_tpu.slam.chunks import make_chunk_indices
 
+            # the chunk partition is known upfront (it exactly matches the
+            # buffer-driven loop below — steady windows of chunk_size
+            # stepping by chunk_size - overlap, then a re-anchored tail of
+            # the last chunk_size frames), so the prefetcher can stack each
+            # chunk and START its host→device upload ahead of consumption
+            stage = [
+                image_paths[a:b]
+                for a, b in make_chunk_indices(
+                    len(image_paths), self.chunk_size, self.overlap_size
+                )
+            ]
             self._prefetcher = ImagePrefetcher(
-                image_paths, lookahead=2 * self.chunk_size
+                image_paths, lookahead=2 * self.chunk_size, stage_chunks=stage
             )
         try:
             for img_path in image_paths:
                 self.process_frame(img_path)
             self._flush_tail(image_paths)
+            self._materialize()
         finally:
             if self._prefetcher is not None:
                 self._prefetcher.close()
@@ -366,5 +472,5 @@ class SLAMSolver:
             for i in range(start, len(res["image_paths"])):
                 w2c = se3_to_4x4(jnp.asarray(res["extrinsics_global"][i], jnp.float32))
                 poses.append(np.asarray(se3_to_4x4(se3_inverse(w2c[:3]))))
-                intrs.append(res["intrinsics"][i])
+                intrs.append(np.asarray(res["intrinsics"][i]))
         return np.stack(poses), np.stack(intrs)

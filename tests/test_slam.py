@@ -106,6 +106,25 @@ class TestSLAMEndToEnd:
         assert len(c2w_est) == len(gt)
         assert ate_rmse(c2w_est, gt) < 5e-3
 
+    def test_trajectory_recovered_device_resident(self, tmp_path):
+        """device_resident=True keeps dense maps on device and returns the
+        per-chunk stats in one batched fetch — the trajectory must be
+        identical to the host-fetch path."""
+        poses = make_trajectory(13)
+        model = FakeDA3(poses, chunk_scales=[1.0, 1.4, 0.7, 1.2, 0.9])
+        image_dir = make_fake_image_dir(tmp_path, 13)
+        cfg = {k: dict(v) for k, v in self.CONFIG.items()}
+        cfg["Model"]["device_resident"] = True
+        solver = SLAMSolver(image_dir, cfg, model=model, viewer=None)
+        solver.run()
+        c2w_dr, _ = solver.trajectory()
+        model2 = FakeDA3(poses, chunk_scales=[1.0, 1.4, 0.7, 1.2, 0.9])
+        solver2 = SLAMSolver(image_dir, self.CONFIG, model=model2, viewer=None)
+        solver2.run()
+        c2w_host, _ = solver2.trajectory()
+        np.testing.assert_allclose(c2w_dr, c2w_host, atol=1e-6)
+        assert ate_rmse(c2w_dr, gt_c2w(poses)) < 1e-2
+
     def test_trajectory_recovered_with_chunk_scale_ambiguity(self, tmp_path):
         """Per-chunk random metric scale must be absorbed by the stitcher
         (depth prescale, solver.py:125-126)."""
