@@ -26,6 +26,7 @@ from da3slam_tpu.core.geometry import backproject_depth, depth_scale_ratio
 from da3slam_tpu.core.transforms import (
     Sim3,
     highest_precision,
+    orthonormalize_rotation,
     se3_compose,
     se3_inverse,
     sim3_inverse,
@@ -205,6 +206,16 @@ def align_chunk_single_overlap(
     Tinv = sim3_inverse(T)
     Tinv_mat = jnp.concatenate([Tinv.s * Tinv.R, Tinv.t[:, None]], axis=-1)
     E_anchor_global = se3_compose(Tinv_mat, prev_overlap_global)
+    # the anchor pose is the only state that survives from chunk to chunk
+    # (the f32 carry, solver.py's prev_overlap_aligned_3x4): without
+    # projection its rotation drifts off SO(3) by ~1 ulp per compose and
+    # the error COMPOUNDS multiplicatively over hundreds of chunks
+    # (SURVEY §7.3.6; the reference instead rescaled by the Sim3 scale,
+    # utils/da3_streaming.py:772).  One 3x3 SVD per chunk is free.
+    E_anchor_global = jnp.concatenate(
+        [orthonormalize_rotation(E_anchor_global[..., :3]),
+         E_anchor_global[..., 3:]], axis=-1,
+    )
 
     # 4) chain the rest of the chunk around the anchor frame
     extrinsics_global = chain_extrinsics(
