@@ -69,6 +69,11 @@ JSON line per metric, headline first:
   synthetic_ate_rmse     — correctness: SLAMSolver on the textured synthetic
                            ground-truth world (per-chunk scale ambiguity +
                            noise), ATE in world units (lower is better)
+  loop_ate_improvement   — loop closure at scale: 520-frame out-and-back
+                           revisit with per-chunk scale drift + gamma
+                           illumination drift; live solver off vs on,
+                           value = ate_off/ate_on (>1 ⇒ closure helped);
+                           retrieval precision/recall printed alongside
 
 vs_baseline: FPS metrics are value/30 (the BASELINE.json target — the
 reference publishes no numbers, SURVEY.md §6); the ATE line reports
@@ -661,6 +666,144 @@ def bench_synthetic_ate() -> float:
     return float(res.ate_rmse)
 
 
+def bench_loop_closure(n_frames: int = 520) -> float:
+    """Loop closure at realistic scale (VERDICT r4 next #7): a ≥500-frame
+    synthetic out-and-back loop with per-chunk scale drift, depth noise,
+    and a monotonic illumination (gamma) drift, so the late revisit's
+    appearance genuinely differs from the first visit.  Runs the LIVE
+    solver twice — closure off / on — and returns ``ate_off / ate_on``
+    (>1 ⇒ closure helped).  Retrieval precision/recall against
+    ground-truth revisit pairs and the loop stage's cost are printed as a
+    comment line; the joint re-inference is capped at 8 frames per side
+    (the reference's ``loop_chunk_size`` knob, da3_streaming.py:449)."""
+    import tempfile
+
+    from da3slam_tpu.slam import SLAMSolver
+    from da3slam_tpu.slam.evaluate import evaluate_trajectory
+    from da3slam_tpu.utils.synthetic import (
+        SyntheticDA3,
+        make_loop_trajectory,
+        make_synthetic_image_dir,
+    )
+
+    poses = make_loop_trajectory(n_frames)
+    gt_c2w = np.stack(
+        [np.linalg.inv(np.vstack([E, [0, 0, 0, 1]])) for E in poses]
+    )
+    MIN_GAP = 200  # 520 dense frames: near-neighbours look alike by design
+
+    def config(enable: bool) -> dict:
+        return {
+            "Model": {"chunk_size": 16, "overlap_size": 1,
+                      "keyframe_interval": 1, "sleep_between_chunk": 0},
+            "Loop": {
+                "enable": enable,
+                "stride": 2,
+                "chunk_size": 8,  # cap the joint re-inference cost
+                "Retrieval": {"threshold": 0.9, "min_gap": MIN_GAP,
+                              "max_loops": 10},
+                "Gate": {"max_rmse": 0.08, "min_n_effective": 200,
+                         "max_reciprocal_err": 0.15},
+                "SIM3_Optimizer": {"max_iterations": 30, "lambda_init": 1e-6},
+            },
+        }
+
+    def make_model():
+        rng = np.random.default_rng(3)
+        return SyntheticDA3(
+            poses, hw=(48, 64),
+            chunk_scales=rng.uniform(0.5, 2.0, size=64),
+            depth_noise=6e-3, textured=True, seed=7,
+            brightness_drift=0.35,
+        )
+
+    res = {}
+    with tempfile.TemporaryDirectory() as td:
+        image_dir = make_synthetic_image_dir(td, n_frames)
+        for name, enable in (("off", False), ("on", True)):
+            solver = SLAMSolver(image_dir, config(enable),
+                                model=make_model(), viewer=None)
+            t0 = time.perf_counter()
+            solver.run()
+            dt = time.perf_counter() - t0
+            c2w, _ = solver.trajectory()
+            ate = evaluate_trajectory(c2w, gt_c2w, align="sim3").ate_rmse
+            res[name] = (solver, float(ate), dt)
+
+    s_on, ate_on, dt_on = res["on"]
+    _, ate_off, dt_off = res["off"]
+
+    # retrieval quality vs ground truth: frames revisit when camera centers
+    # AND viewing directions coincide (the trajectory is out-and-back, so
+    # true pairs are (i, ~N-1-i) with large separation)
+    centers = gt_c2w[:, :3, 3]
+    dirs = gt_c2w[:, :3, 2]  # camera +z in world
+
+    def is_revisit(i: int, j: int) -> bool:
+        return bool(
+            np.linalg.norm(centers[i] - centers[j]) < 0.05
+            and np.arccos(np.clip(dirs[i] @ dirs[j], -1, 1)) < 0.1
+        )
+
+    det = s_on.loop_closer.detector.detect()
+    tp = sum(is_revisit(p.frame_a, p.frame_b) for p in det)
+    precision = tp / max(len(det), 1)
+    # recall at NMS granularity: a GT revisit pair (sampled on a stride-5
+    # grid) counts as found when a detected pair lands within W frames of
+    # it on both endpoints
+    W = 25
+    gt_pairs = [
+        (i, j)
+        for i in range(0, n_frames, 5)
+        for j in range(i + MIN_GAP, n_frames, 5)
+        if is_revisit(i, j)
+    ]
+    found = sum(
+        any(abs(p.frame_a - i) <= W and abs(p.frame_b - j) <= W for p in det)
+        for i, j in gt_pairs
+    )
+    recall = found / max(len(gt_pairs), 1)
+    loop_s = s_on.timer.totals.get("loop", 0.0)
+    print(
+        f"# loop bench ({n_frames} frames, gamma-drift 0.35): "
+        f"ate_off={ate_off:.4f} ate_on={ate_on:.4f} "
+        f"edges={len(s_on.loop_closer.loop_edges)} detected={len(det)} "
+        f"precision={precision:.2f} recall={recall:.2f} "
+        f"loop_stage={loop_s:.1f}s run_on={dt_on:.1f}s run_off={dt_off:.1f}s",
+        flush=True,
+    )
+    return ate_off / max(ate_on, 1e-9)
+
+
+def _loop_closure_subprocess(n_frames: int = 520) -> float:
+    """``bench_loop_closure`` in a CPU-forced child process (see the call
+    site's rationale).  Forwards the child's `# loop bench` evidence line."""
+    import os
+    import subprocess
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        f"import bench; print('LOOP_RESULT', bench.bench_loop_closure({n_frames}))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-u", "-c", code],
+        capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    val = None
+    for line in out.stdout.splitlines():
+        if line.startswith("# loop bench"):
+            print(line, flush=True)
+        elif line.startswith("LOOP_RESULT"):
+            val = float(line.split()[1])
+    if val is None:
+        raise RuntimeError(
+            f"loop-closure subprocess produced no result: "
+            f"rc={out.returncode}, stderr tail: {out.stderr[-500:]}"
+        )
+    return val
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -806,6 +949,13 @@ def main() -> None:
             lambda v: v / BASELINE_FPS)
     guarded("synthetic_ate_rmse", "world-units",
             bench_synthetic_ate, lambda v: ATE_BOUND / max(v, 1e-9))
+    # loop closure at realistic scale: 520-frame revisit with appearance
+    # drift, live solver off vs on; >1 means the closure reduced ATE.
+    # Runs CPU-forced in a subprocess: the metric has no TPU content, and
+    # its many small jits (a pose-graph solve at each growing node count)
+    # would each pay a 20-40 s remote compile through the dev tunnel
+    guarded("loop_ate_improvement", "x",
+            _loop_closure_subprocess, lambda v: v)
 
     # final summary line, LAST: the driver records the tail of stdout and
     # parses the last JSON line, so the headline must close the run — with

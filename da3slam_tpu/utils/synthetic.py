@@ -185,6 +185,7 @@ class SyntheticDA3:
         depth_noise: float = 0.0,
         seed: int = 0,
         textured: bool = False,
+        brightness_drift: float = 0.0,
     ):
         self.poses = poses_w2c
         self.hw = hw
@@ -195,6 +196,15 @@ class SyntheticDA3:
         self.rng = np.random.default_rng(seed)
         self.call_count = 0
         self.textured = textured
+        # per-frame illumination drift: frame i renders gamma-warped with
+        # gamma = 1 + drift·(i / (T-1)), a MONOTONIC exposure drift over the
+        # sequence — a revisit of the SAME pose late in the sequence renders
+        # at a different exposure than the first visit, so appearance-based
+        # loop retrieval must tolerate a realistic lighting change instead
+        # of matching bit-identical thumbnails.  Gamma (not gain): a pure
+        # multiplicative gain is removed exactly by the mean-subtract +
+        # L2-normalize in frame_descriptor, so it would test nothing.
+        self.brightness_drift = brightness_drift
 
     def inference(self, image, **kwargs):
         from da3slam_tpu.models.da3 import Prediction
@@ -238,6 +248,13 @@ class SyntheticDA3:
             inv = inv / inv.max(axis=(1, 2), keepdims=True)
             shade = (inv * 255).astype(np.uint8)
             images = np.repeat(shade[..., None], 3, axis=-1)
+        if self.brightness_drift:
+            T = max(len(self.poses) - 1, 1)
+            gamma = 1.0 + self.brightness_drift * (np.asarray(idxs, np.float64) / T)
+            x = images.astype(np.float32) / 255.0
+            images = np.clip(
+                255.0 * x ** (1.0 / gamma)[:, None, None, None], 0.0, 255.0
+            ).astype(np.uint8)
         return Prediction(
             processed_images=images,
             depth=depth.astype(np.float32),

@@ -171,3 +171,29 @@ def test_online_loop_closure_improves_ate(tmp_path):
         f"online closure made ATE worse: {res_on.ate_rmse:.5f} vs "
         f"{res_off.ate_rmse:.5f}"
     )
+
+
+def test_retrieval_tolerates_gamma_drift():
+    """brightness_drift (utils/synthetic.py) gamma-warps late frames, so a
+    revisit's thumbnail is NOT bit-identical to the first visit — retrieval
+    must still clear the threshold on the true pair (0, N-1) while ranking a
+    mid-sequence different pose below it.  This is the appearance
+    perturbation the loop_ate_improvement bench runs with."""
+    from da3slam_tpu.slam.loop import frame_descriptor
+
+    n = 64
+    poses = make_loop_trajectory(n)
+    base = SyntheticDA3(poses, hw=HW, textured=True)
+    drift = SyntheticDA3(poses, hw=HW, textured=True, brightness_drift=0.35)
+    names = [f"{i:06d}.jpg" for i in (0, n - 1, n // 2)]
+    p = drift.inference(names)
+    p0 = base.inference(names)
+    # the drift really changed the revisit's pixels (gamma at i=N-1 is
+    # 1.35) and left frame 0 untouched (gamma(0) = 1)
+    assert np.array_equal(p.processed_images[0], p0.processed_images[0])
+    assert not np.array_equal(p.processed_images[1], p0.processed_images[1])
+    d0 = frame_descriptor(p.processed_images[0])
+    d_rev = frame_descriptor(p.processed_images[1])
+    d_mid = frame_descriptor(p.processed_images[2])
+    assert float(d0 @ d_rev) > 0.9, "gamma drift broke revisit retrieval"
+    assert float(d0 @ d_mid) < float(d0 @ d_rev)
