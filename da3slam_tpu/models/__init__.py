@@ -10,5 +10,12 @@ behavioral contract observed at the reference call sites
 solver.py:58-176).
 """
 
-from da3slam_tpu.models.config import ModelConfig, PRESETS, get_preset  # noqa: F401
+from da3slam_tpu.models.config import (  # noqa: F401
+    ModelConfig,
+    NESTED_PRESETS,
+    PRESETS,
+    get_preset,
+    resolve_nested_preset,
+)
 from da3slam_tpu.models.da3 import DepthAnything3, Prediction  # noqa: F401
+from da3slam_tpu.models.nested import DepthAnything3Nested  # noqa: F401

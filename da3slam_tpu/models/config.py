@@ -90,6 +90,29 @@ _ALIASES = {
     "da3nested-giant-large-1.1": "giant", "da3-giant": "giant",
 }
 
+# NESTED checkpoints package two complete DA3 models: the any-view geometry
+# model plus the monocular metric-scale model that recovers the metric
+# factor (models/nested.py).  Values are (anyview_preset, metric_preset).
+# ``nested-tiny`` exists for tests (real code paths, trivial compute).
+NESTED_PRESETS: dict[str, tuple[str, str]] = {
+    "nested-giant-large": ("giant", "large"),
+    "nested-tiny": ("tiny", "tiny"),
+}
+
+_NESTED_ALIASES = {
+    "da3nested-giant-large-1.1": "nested-giant-large",
+    "da3nested-giant-large": "nested-giant-large",
+}
+
+
+def resolve_nested_preset(name: str) -> tuple[str, str] | None:
+    """(anyview_preset, metric_preset) when ``name`` names a nested tier,
+    else None.  Checkpoint-directory-style paths resolve by basename, same
+    as :func:`get_preset`."""
+    key = Path(name).name.lower()
+    key = _NESTED_ALIASES.get(key, key)
+    return NESTED_PRESETS.get(key)
+
 
 def get_preset(name: str) -> ModelConfig:
     """Resolve a tier name or checkpoint-directory-style name to a config."""

@@ -39,6 +39,10 @@ class Prediction:
     # extension over the reference contract: [N, D] L2-normalised encoder
     # descriptors for loop retrieval (None for models without an encoder)
     frame_desc: np.ndarray | None = None
+    # NESTED tiers only (models/nested.py): the recovered metric scale the
+    # depth + extrinsic translations were multiplied by (None = ambiguous
+    # scale, the plain-tier contract)
+    metric_scale: float | None = None
 
 
 def init_params(key: jax.Array, cfg: ModelConfig) -> Any:
@@ -117,7 +121,11 @@ class DepthAnything3:
 
         Mirrors reference ``DepthAnything3.from_pretrained`` (solver.py:58);
         checkpoint-directory names like ``.../DA3-SMALL`` resolve to presets
-        when the directory does not exist locally.
+        when the directory does not exist locally.  NESTED checkpoints /
+        preset names (the reference's first-listed production tier,
+        configs/config1.yaml:2) return a
+        :class:`~da3slam_tpu.models.nested.DepthAnything3Nested` — same
+        inference API, metric-scaled output.
         """
         p = Path(path_or_preset)
         if (p / "model.safetensors").exists():
@@ -129,14 +137,40 @@ class DepthAnything3:
 
                 params, cfg = load_checkpoint(p)
                 return cls(cfg, params)
-            # torch-style (dot-named) checkpoint → mapped import
+            # torch-style (dot-named) checkpoint → mapped import; a dict
+            # holding TWO complete backbones is a nested checkpoint
+            from da3slam_tpu.models.torch_import import split_nested_state_dict
+
+            split = split_nested_state_dict(flat)
+            if split is not None:
+                from da3slam_tpu.models.nested import DepthAnything3Nested
+
+                return DepthAnything3Nested.from_split_state_dicts(
+                    *split[:2], ckpt_dir=p, seed=seed
+                )
             return cls._from_torch_state_dict(flat, p, seed)
         for torch_file in ("pytorch_model.bin", "model.pt", "model.bin"):
             if (p / torch_file).exists():
-                from da3slam_tpu.models.torch_import import load_torch_checkpoint_file
+                from da3slam_tpu.models.torch_import import (
+                    load_torch_checkpoint_file,
+                    split_nested_state_dict,
+                )
 
                 sd = load_torch_checkpoint_file(p / torch_file)
+                split = split_nested_state_dict(sd)
+                if split is not None:
+                    from da3slam_tpu.models.nested import DepthAnything3Nested
+
+                    return DepthAnything3Nested.from_split_state_dicts(
+                        *split[:2], ckpt_dir=p, seed=seed
+                    )
                 return cls._from_torch_state_dict(sd, p, seed)
+        from da3slam_tpu.models.config import resolve_nested_preset
+
+        if resolve_nested_preset(path_or_preset) is not None:
+            from da3slam_tpu.models.nested import DepthAnything3Nested
+
+            return DepthAnything3Nested.from_pretrained(path_or_preset, seed)
         cfg = get_preset(path_or_preset)
         params = init_params(jax.random.PRNGKey(seed), cfg)
         return cls(cfg, params)

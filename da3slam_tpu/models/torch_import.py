@@ -468,6 +468,57 @@ def export_torch_style(params: Any) -> dict[str, np.ndarray]:
     return sd
 
 
+def split_nested_state_dict(
+    sd: Mapping[str, np.ndarray],
+) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray], tuple[str, str]] | None:
+    """Detect and split a NESTED (two-submodel) DA3 checkpoint.
+
+    The reference's first-listed production checkpoint is
+    ``DA3NESTED-GIANT-LARGE-1.1`` (/root/reference/configs/config1.yaml:2):
+    one state dict packaging TWO complete DA3 models — the any-view
+    geometry model (giant) and the monocular metric-scale model (large)
+    that recovers the metric factor the any-view output lacks.  As a torch
+    module composition, each submodel prefixes its tensors with its
+    attribute name; the layout pinned here (and in
+    tests/fixtures/torch_schema_nested_giant.json) is ``model.`` for the
+    any-view submodel and ``metric_model.`` for the metric one, with
+    tolerant alternates.  Must be re-verified against a real checkpoint
+    via ``cli/parity.py`` the day one mounts (ROADMAP.md "fidelity").
+
+    Returns ``(anyview_sd, metric_sd, (anyview_prefix, metric_prefix))``
+    with prefixes stripped, or ``None`` when the dict is not nested
+    (fewer than two complete backbones found).
+    """
+    probe = "patch_embed.proj.weight"
+    prefixes = sorted(
+        {k[: -len(probe)] for k in sd if k.endswith(probe)}
+    )
+    if len(prefixes) < 2:
+        return None
+
+    def rank(prefix: str) -> tuple[int, int]:
+        # the metric submodel is the one NAMED metric; when naming does not
+        # decide, the any-view model is the larger backbone (giant 1536 >
+        # large 1024)
+        named_metric = "metric" in prefix.lower()
+        D = int(np.asarray(sd[prefix + probe]).shape[0])
+        return (0 if named_metric else 1, D)
+
+    ordered = sorted(prefixes, key=rank, reverse=True)
+    p_any, p_metric = ordered[0], ordered[-1]
+    # keys bind to the LONGEST matching prefix, so an unprefixed any-view
+    # backbone ("" prefix) plus a "metric_model." submodel split cleanly
+    sd_any: dict[str, np.ndarray] = {}
+    sd_metric: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        cands = [p for p in (p_any, p_metric) if k.startswith(p)]
+        if not cands:
+            continue
+        p = max(cands, key=len)
+        (sd_metric if p == p_metric else sd_any)[k[len(p):]] = v
+    return sd_any, sd_metric, (p_any, p_metric)
+
+
 def load_torch_checkpoint_file(path: str | Path) -> dict[str, np.ndarray]:
     """Read a torch checkpoint file (.safetensors or .bin/.pt) to numpy."""
     path = Path(path)

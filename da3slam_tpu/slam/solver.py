@@ -78,9 +78,11 @@ class SLAMSolver:
         if self.prefetch is None:
             # only the real model is known to accept pre-decoded arrays;
             # custom models (e.g. path-keyed test doubles) keep paths
-            from da3slam_tpu.models import DepthAnything3
+            from da3slam_tpu.models import DepthAnything3, DepthAnything3Nested
 
-            self.prefetch = isinstance(self.model, DepthAnything3)
+            self.prefetch = isinstance(
+                self.model, (DepthAnything3, DepthAnything3Nested)
+            )
         self.viewer = self._init_viewer() if viewer == "auto" else viewer
 
         # optional ONLINE loop closure (off by default — the capability the

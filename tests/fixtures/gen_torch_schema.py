@@ -161,9 +161,47 @@ def manifest(tier: str) -> dict:
     }
 
 
+# The NESTED checkpoint (DA3NESTED-GIANT-LARGE-1.1, the reference's
+# first-listed production tier, configs/config1.yaml:2) packages TWO
+# complete DA3 models in one state dict: the any-view geometry model
+# (giant) and the monocular metric-scale model (large).  As a torch module
+# composition each submodel prefixes its tensors with its attribute name;
+# the layout pinned here is ``model.`` (any-view) / ``metric_model.``
+# (metric) — the natural nn.Module field naming — and is marked
+# reconstructed: it must be re-verified with cli/parity.py against a real
+# checkpoint the day one mounts.
+NESTED_PREFIXES = {"anyview": "model.", "metric": "metric_model."}
+
+
+def nested_manifest() -> dict:
+    g, l = manifest("giant"), manifest("large")
+    keys = {
+        **{NESTED_PREFIXES["anyview"] + k: v for k, v in g["keys"].items()},
+        **{NESTED_PREFIXES["metric"] + k: v for k, v in l["keys"].items()},
+    }
+    return {
+        "_doc": "Published torch state-dict key schema for the NESTED "
+                "giant+large checkpoint (see gen_torch_schema.py). Submodel "
+                "sections follow the per-tier schemas under the pinned "
+                "prefixes; the prefix layout itself is reconstructed pending "
+                "a real checkpoint.",
+        "tier": "nested_giant_large",
+        "prefixes": NESTED_PREFIXES,
+        "keys": keys,
+        "expected_missing": (
+            [NESTED_PREFIXES["anyview"] + k for k in g["expected_missing"]]
+            + [NESTED_PREFIXES["metric"] + k for k in l["expected_missing"]]
+        ),
+        "reconstructed_sections": ["camera_head", "nested_prefix_layout"],
+    }
+
+
 if __name__ == "__main__":
     out_dir = Path(__file__).parent
     for tier in TIERS:
         p = out_dir / f"torch_schema_{tier}.json"
         p.write_text(json.dumps(manifest(tier), indent=1) + "\n")
         print(f"wrote {p}")
+    p = out_dir / "torch_schema_nested_giant.json"
+    p.write_text(json.dumps(nested_manifest(), indent=1) + "\n")
+    print(f"wrote {p}")
