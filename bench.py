@@ -65,7 +65,8 @@ JSON line per metric, headline first:
                            frames/s (volumetric backend the reference
                            lacks).  _dense_fps = the every-voxel path on
                            the same scene; _4m_fps = sparse at a ~4M-voxel
-                           grid (resolution 208)
+                           grid (resolution 208); _carve_fps = sparse with
+                           free-space carving (carve=True)
   synthetic_ate_rmse     — correctness: SLAMSolver on the textured synthetic
                            ground-truth world (per-chunk scale ambiguity +
                            noise), ATE in world units (lower is better)
@@ -591,8 +592,11 @@ def bench_tsdf_fusion(mode="sparse", resolution=192, n_reps=3) -> float:
     mode="sparse": the production block-sparse path
     (integrate_frames_sparse), block budget auto-sized once at warmup
     (scene-sized, like a voxel-hash table) and reused in the timed loop.
-    mode="dense": every-voxel update (integrate_frames), the r3 metric's
-    code path."""
+    mode="carve": sparse + free-space carving (carve=True — occupied
+    blocks in front of observed depth also take the clipped +1
+    observations; VERDICT r4 #8 asks this to stay within ~1.3x of plain
+    sparse).  mode="dense": every-voxel update (integrate_frames), the
+    r3 metric's code path."""
     from da3slam_tpu.ops.tsdf import (
         estimate_bounds,
         grid_from_bounds,
@@ -610,11 +614,19 @@ def bench_tsdf_fusion(mode="sparse", resolution=192, n_reps=3) -> float:
         run = lambda: integrate_frames(grid0, depth, conf, K, E)  # noqa: E731
         g = run()
     else:
-        _, counts = integrate_frames_sparse(
-            grid0, depth, conf, K, E, active_blocks=128, batch=16)
+        carve = mode == "carve"
+        if carve:
+            # auto-size (no drops) so the warmup's occupancy evolution —
+            # and hence its TRUE counts — match the budgeted timed run
+            _, counts = integrate_frames_sparse(
+                grid0, depth, conf, K, E, batch=16, carve=True)
+        else:
+            _, counts = integrate_frames_sparse(
+                grid0, depth, conf, K, E, active_blocks=128, batch=16)
         budget = -(-(int(counts.max()) + 1) // 128) * 128
         run = lambda: integrate_frames_sparse(  # noqa: E731
-            grid0, depth, conf, K, E, active_blocks=budget, batch=16)[0]
+            grid0, depth, conf, K, E, active_blocks=budget, batch=16,
+            carve=carve)[0]
         g = run()
     _force(g.sdf[0, 0, -8:])
     t0 = time.perf_counter()
@@ -946,6 +958,9 @@ def main() -> None:
             lambda v: v / BASELINE_FPS)
     guarded("tsdf_fusion_4m_fps", "frames/s",
             lambda: bench_tsdf_fusion("sparse", resolution=208),
+            lambda v: v / BASELINE_FPS)
+    guarded("tsdf_fusion_carve_fps", "frames/s",
+            lambda: bench_tsdf_fusion("carve"),
             lambda v: v / BASELINE_FPS)
     guarded("synthetic_ate_rmse", "world-units",
             bench_synthetic_ate, lambda v: ATE_BOUND / max(v, 1e-9))

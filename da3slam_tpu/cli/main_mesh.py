@@ -35,7 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sparse", action="store_true",
                    help="block-sparse band-only fusion (ops/tsdf.py "
                    "integrate_frames_sparse): 5-10x faster at high "
-                   "resolutions; skips free-space carving")
+                   "resolutions; skips free-space carving unless --carve")
+    p.add_argument("--carve", action="store_true",
+                   help="with --sparse: also carve free space in front of "
+                   "occupied blocks, so spurious early surfaces that later "
+                   "frames contradict get erased (dense always carves)")
     return p
 
 
@@ -73,6 +77,7 @@ def main(argv=None) -> None:
         max_weight=args.max_weight,
         images=fused.get("images"),
         sparse=args.sparse,
+        carve=args.carve,
     )
     verts, faces = tsdf_to_mesh(grid)
     if len(verts) == 0:

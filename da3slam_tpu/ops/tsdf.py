@@ -257,7 +257,11 @@ def integrate_frames(
 # budget*bs^3 voxels instead of all of them, and row-scatters back.
 # Semantics are band-only (``integrate(band_only=True)`` is the exact dense
 # oracle): free-space voxels outside the truncation band keep sdf=+1/w=0,
-# which the zero-crossing mesher never looks at anyway.
+# which the zero-crossing mesher never looks at anyway.  ``carve=True``
+# restores the dense path's free-space carving for OCCUPIED blocks (the
+# only place a free-space observation changes anything — on sdf=+1/w=0
+# voxels it is value-neutral): spurious early surfaces contradicted by
+# later observations get erased; measured cost ~1% on the bench scene.
 # ---------------------------------------------------------------------------
 
 _POOL_T0 = 16  # finest min/max depth tile, pixels
@@ -313,6 +317,7 @@ def _block_activity(
     pyramid: jax.Array,  # [L*Ht*Wt, 2]
     tiles_hw: tuple[int, int],
     trunc: jax.Array,
+    occupied: jax.Array | None = None,  # [NB] bool — carve mode
 ) -> jax.Array:
     """Conservative per-block activity: does any voxel of the block possibly
     fall inside the truncation band of any pixel it projects to?
@@ -329,7 +334,15 @@ def _block_activity(
     then cover the whole bbox — tighter than a fixed 3x3 center
     neighborhood (less min/max dilution from unrelated pixels) and 2.25x
     fewer gathers.  Blocks too close for even the coarsest level (or
-    straddling the camera plane) are unconditionally active."""
+    straddling the camera plane) are unconditionally active.
+
+    ``occupied`` (free-space carving, VERDICT r4 #8): blocks that already
+    hold weight stay active whenever any of their voxels could receive an
+    observation at all — i.e. the back-side band bound alone,
+    ``z - zh <= dmax + trunc`` — so the clipped ``+1`` free-space
+    observations in front of the surface reach (and erase) spurious early
+    surfaces that later frames contradict, the dense ``band_only=False``
+    semantics."""
     H, W = depth_hw
     Ht, Wt = tiles_hw
     cam = _transform_points(E_w2c, centers_world)
@@ -383,7 +396,16 @@ def _block_activity(
         & (v >= -rho_v - 1.0)
         & (v <= H + rho_v)
     )
-    band = ((z - zh) <= dmax + trunc) & ((z + zh) >= dmin - trunc)
+    front_ok = (z - zh) <= dmax + trunc
+    back_ok = (z + zh) >= dmin - trunc
+    if occupied is not None:
+        # carve: occupied blocks need only the front-side bound (their
+        # free-space voxels get the clipped +1 observation); empty blocks
+        # keep the full band test — a free-space update on sdf=+1/w=0 is
+        # value-neutral, so skipping it loses nothing but a weight prior.
+        band = front_ok & (occupied | back_ok)
+    else:
+        band = front_ok & back_ok
     too_big = 2.0 * rho > _POOL_T0 * 2 ** (_POOL_LEVELS - 1)
     return in_front & (straddle | (in_img & (band | too_big)))
 
@@ -440,31 +462,43 @@ def _tiles_hw(hw):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bdims", "block_size", "hw")
+    jax.jit, static_argnames=("bdims", "block_size", "hw", "carve")
 )
 def _count_active_impl(
     origin, voxel, trunc, depth, conf, K, E_w2c,
     bdims: tuple[int, int, int], block_size: int, hw: tuple[int, int],
+    occ0=None, carve: bool = False,
 ):
     """True per-frame active-block counts (the cheap activity-only pass
-    behind ``active_blocks=None`` auto-sizing)."""
+    behind ``active_blocks=None`` auto-sizing).
+
+    ``carve`` threads a conservative occupancy accumulator through the
+    scan: a block MAY be occupied by frame i if it started occupied
+    (``occ0``, from the grid's initial weights) or was band-active in any
+    earlier frame — a superset of true occupancy (activity does not imply
+    weight was written), so the returned counts upper-bound the carve
+    path's true per-frame active sets and the auto-sized budget never
+    drops blocks."""
     centers, half_extent, _ = _block_meta(bdims, block_size, voxel, origin)
     tiles = _tiles_hw(hw)
 
-    def body(_, xs):
+    def body(occ, xs):
         d, c, k, e = xs
         pyr, _t = _depth_minmax_pyramid(d, c)
-        a = _block_activity(centers, half_extent, hw, k, e, pyr, tiles, trunc)
-        return None, a.sum()
+        a = _block_activity(centers, half_extent, hw, k, e, pyr, tiles,
+                            trunc, occupied=occ)
+        occ_next = (occ | a) if carve else occ
+        return occ_next, a.sum()
 
-    _, counts = jax.lax.scan(body, None, (depth, conf, K, E_w2c))
+    occ = occ0 if carve else None
+    _, counts = jax.lax.scan(body, occ, (depth, conf, K, E_w2c))
     return counts
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("bdims", "block_size", "active_blocks", "max_weight",
-                     "hw", "batch"),
+                     "hw", "batch", "carve"),
 )
 def _integrate_sparse_impl(
     sdf_b,  # [NB+1, B3]
@@ -484,6 +518,7 @@ def _integrate_sparse_impl(
     max_weight: float,
     hw: tuple[int, int],
     batch: int,
+    carve: bool = False,
 ):
     bs = block_size
     BX, BY, BZ = bdims
@@ -508,9 +543,14 @@ def _integrate_sparse_impl(
         # stay sequential, which keeps results bit-identical to the
         # frame-at-a-time semantics.
         pyr, _t = jax.vmap(_depth_minmax_pyramid)(d, c)
+        # carve: occupancy snapshot at dispatch granularity — a block
+        # filled by frame i of this batch is carve-eligible from the NEXT
+        # batch on (≤`batch`-frame latency; exact at batch=1)
+        occ = (sw_b[:-1, b3:] > 0.0).any(axis=1) if carve else None
         active = jax.vmap(
             lambda kk, ee, pp: _block_activity(
-                centers, half_extent, (H, W), kk, ee, pp, tiles, trunc
+                centers, half_extent, (H, W), kk, ee, pp, tiles, trunc,
+                occupied=occ,
             )
         )(k, e, pyr)  # [B, NB]
         n_active = active.sum(axis=1)
@@ -570,7 +610,9 @@ def _integrate_sparse_impl(
         d_pix, w_pix = dc[..., 0], dc[..., 1]
 
         sdf_obs = (d_pix - z) / trunc
-        valid = in_img & (d_pix > 1e-6) & (sdf_obs > -1.0) & (sdf_obs <= 1.0)
+        valid = in_img & (d_pix > 1e-6) & (sdf_obs > -1.0)
+        if not carve:
+            valid = valid & (sdf_obs <= 1.0)  # band-only semantics
         sdf_obs = jnp.clip(sdf_obs, -1.0, 1.0)
         w_obs = jnp.where(valid, jnp.maximum(w_pix, 0.0), 0.0)
 
@@ -644,6 +686,7 @@ def integrate_frames_sparse(
     block_size: int = 4,
     active_blocks: int | None = None,
     batch: int = 8,
+    carve: bool = False,
 ) -> tuple[TSDFGrid, "np.ndarray"]:
     """Block-sparse fusion of a frame stack (band-only semantics).
 
@@ -654,6 +697,17 @@ def integrate_frames_sparse(
     activity-only counting pass (exact coverage, like sizing a voxel-hash
     table to the scene).  ``batch`` frames share one gather dispatch per
     scan step; results are bit-identical to frame-at-a-time updates.
+
+    ``carve=True`` adds free-space carving (the dense ``band_only=False``
+    semantics, VERDICT r4 #8): blocks that already hold weight are also
+    updated whenever they sit in front of observed depth, so the clipped
+    ``+1`` free-space observations erase spurious early surfaces that
+    later frames contradict.  Per-voxel math on every selected block is
+    exactly the dense full update; the only remaining gap to dense is
+    that never-occupied pure-free-space blocks skip the (value-neutral,
+    sdf stays +1) weight-prior accumulation.  Occupancy refreshes at
+    dispatch granularity: a surface written by frame i becomes
+    carve-eligible ``<= batch`` frames later (exact at ``batch=1``).
 
     Returns ``(grid, counts)`` where ``counts`` is the TRUE per-frame
     active-block count — with an explicit budget, callers should check
@@ -674,10 +728,17 @@ def integrate_frames_sparse(
     if depth.shape[0] == 0:  # empty stack: nothing to fuse
         return grid, np.zeros((0,), np.int64)
 
+    sdf_b = _block_layout(grid.sdf, bs, 1.0)
+    w_b = _block_layout(grid.weight, bs, 0.0)
+    col_b = (
+        _block_layout(grid.color, bs, 0.0) if grid.color is not None else None
+    )
+
     if active_blocks is None:
+        occ0 = (w_b[:-1] > 0.0).any(axis=1) if carve else None
         counts = _count_active_impl(
             grid.origin, grid.voxel, grid.trunc, depth, conf, K, E_w2c,
-            bdims, bs, hw,
+            bdims, bs, hw, occ0=occ0, carve=carve,
         )
         # round up for shape stability across similar scenes (each distinct
         # budget is its own compile)
@@ -700,11 +761,6 @@ def integrate_frames_sparse(
             [E_w2c, jnp.tile(jnp.eye(4)[:3][None], (pad, 1, 1))]
         )
 
-    sdf_b = _block_layout(grid.sdf, bs, 1.0)
-    w_b = _block_layout(grid.weight, bs, 0.0)
-    col_b = (
-        _block_layout(grid.color, bs, 0.0) if grid.color is not None else None
-    )
     if images is not None and grid.color is None:
         raise ValueError("images given but grid has no color accumulator")
     if images is not None:
@@ -718,6 +774,7 @@ def integrate_frames_sparse(
         sdf_b, w_b, col_b, grid.origin, grid.voxel, grid.trunc,
         depth, conf, K, E_w2c, images,
         bdims, bs, int(active_blocks), float(max_weight), hw, batch,
+        carve=carve,
     )
     dims = (X, Y, Z)
     return grid._replace(
@@ -799,6 +856,8 @@ def fuse_frames(
     sparse: bool = False,
     block_size: int = 4,
     active_blocks: int | None = None,
+    carve: bool = False,
+    batch: int = 8,
 ) -> TSDFGrid:
     """TSDF-fuse a stack of posed depth frames, bounds auto-estimated.
 
@@ -808,7 +867,9 @@ def fuse_frames(
     solver.py:125).  ``sparse=True`` routes through the block-sparse
     band-only path (:func:`integrate_frames_sparse`) — the same surface,
     but only near-band voxels are touched; a warning fires if any frame's
-    active set exceeded the block budget."""
+    active set exceeded the block budget.  ``carve=True`` (sparse only)
+    adds free-space carving of occupied blocks — the dense path always
+    carves."""
     depth = jnp.asarray(depth)
     conf = jnp.asarray(conf)
     K = jnp.asarray(K)
@@ -824,7 +885,8 @@ def fuse_frames(
     if sparse:
         grid, counts = integrate_frames_sparse(
             grid, depth, w, K, E, max_weight=max_weight, images=images,
-            block_size=block_size, active_blocks=active_blocks,
+            block_size=block_size, active_blocks=active_blocks, carve=carve,
+            batch=batch,
         )
         # active_blocks=None auto-sizes from a counting pass → never drops
         if active_blocks is not None and counts.max() > active_blocks:
@@ -849,6 +911,7 @@ def fuse_pipeline_output(
     margin: float = 0.05,
     window_idx=None,  # [C, N] original-frame indices (pipeline.make_windows)
     sparse: bool = False,
+    carve: bool = False,
 ) -> TSDFGrid:
     """TSDF-fuse a full SLAM pipeline run (flattens the window axis).
 
@@ -881,4 +944,5 @@ def fuse_pipeline_output(
         max_weight=max_weight,
         margin=margin,
         sparse=sparse,
+        carve=carve,
     )

@@ -80,6 +80,11 @@ class DA3Streaming:
         # ~9x the dense path at production grids); False restores the dense
         # every-voxel update (adds free-space carving in front of surfaces)
         self.mesh_sparse = mcfg.get("mesh_sparse", True)
+        # free-space carving for the sparse path (ops/tsdf.py carve=True):
+        # occupied blocks in front of observed depth take the clipped +1
+        # observations, so spurious early surfaces contradicted by later
+        # chunks get erased (the dense path always carves)
+        self.mesh_carve = mcfg.get("mesh_carve", False)
         self._mesh_bounds: list = []
         # shared sparse-fusion block budget (set from the first chunk's
         # true counts; one budget → one XLA compile across all chunks)
@@ -551,6 +556,7 @@ class DA3Streaming:
                 grid, counts = integrate_frames_sparse(
                     *fuse_args, images=images,
                     active_blocks=self._mesh_block_budget,
+                    carve=self.mesh_carve,
                 )
                 peak = int(counts.max()) if counts.size else 0
                 if (self._mesh_block_budget is not None
@@ -560,6 +566,7 @@ class DA3Streaming:
                           "re-fusing with auto-sized budget")
                     grid, counts = integrate_frames_sparse(
                         *fuse_args, images=images, active_blocks=None,
+                        carve=self.mesh_carve,
                     )
                     peak = int(counts.max()) if counts.size else 0
                 if self._mesh_block_budget is None or (

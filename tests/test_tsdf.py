@@ -392,6 +392,107 @@ class TestSparseFusion:
         assert np.quantile(dists, 0.95) < 1.5 * float(grid.voxel)
 
 
+class TestSparseCarving:
+    """Free-space carving for the block-sparse path (VERDICT r4 #8):
+    ``carve=True`` recovers the dense ``band_only=False`` semantics on
+    every selected block, so spurious early surfaces that later frames
+    contradict get erased instead of persisting forever."""
+
+    def test_carve_erases_spurious_blob(self):
+        """A wrong near surface seen once, then contradicted by many far
+        observations: band-only keeps the blob's zero crossing (its voxels
+        are out-of-band for every later frame); carve erases it."""
+        from da3slam_tpu.ops.tsdf import integrate_frames_sparse, make_grid
+
+        H, W, n = 32, 32, 6
+        K = np.array([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]], np.float32)
+        E = np.eye(4, dtype=np.float32)[:3]
+        far = np.full((H, W), 3.0, np.float32)
+        blob = far.copy()
+        blob[12:20, 12:20] = 1.0  # spurious near surface, one frame only
+        depth = np.stack([blob] + [far] * (n - 1))
+        conf = np.ones(depth.shape, np.float32)
+        Ks = np.repeat(K[None], n, axis=0)
+        Es = np.repeat(E[None], n, axis=0)
+        # grid brackets the blob depth (z in [0.8, 1.3]), well in front of
+        # the true surface at 3.0
+        grid = make_grid((-0.25, -0.25, 0.8), (10, 10, 10), voxel=0.05)
+
+        band, _ = integrate_frames_sparse(grid, depth, conf, Ks, Es, batch=1)
+        carved, _ = integrate_frames_sparse(grid, depth, conf, Ks, Es,
+                                            batch=1, carve=True)
+        band_sdf = np.asarray(band.sdf)[np.asarray(band.weight) > 0]
+        assert band_sdf.min() < -0.5, "setup must write a blob crossing"
+        carved_sdf = np.asarray(carved.sdf)
+        carved_w = np.asarray(carved.weight)
+        # the blob's behind-surface voxels were occluded in frame 1
+        # (sdf_obs < -1) and stay untouched; every voxel the blob DID
+        # write gets n-1 free-space +1 observations → no zero crossing
+        assert carved_sdf[carved_w > 0].min() > 0.25
+        # …and the free-space votes dominate the weight
+        assert carved_w.max() > np.asarray(band.weight).max()
+
+    def test_carve_matches_full_dense_on_static_scene(self):
+        """Static plane, repeated views: every block's activity status is
+        constant across frames, so carve matches the dense
+        ``band_only=False`` oracle exactly — sdf everywhere, weight on
+        every block the sparse path touched (never-touched blocks skip
+        only the value-neutral free-space weight prior)."""
+        from da3slam_tpu.ops.tsdf import (
+            integrate, integrate_frames_sparse, make_grid,
+        )
+
+        H, W, n = 24, 32, 3
+        K = np.array([[30.0, 0, 16], [0, 30.0, 12], [0, 0, 1]], np.float32)
+        E = np.eye(4, dtype=np.float32)[:3]
+        depth = np.full((n, H, W), 2.0, np.float32)
+        rng = np.random.default_rng(3)
+        conf = 1.0 + rng.random(depth.shape).astype(np.float32)
+        Ks = np.repeat(K[None], n, axis=0)
+        Es = np.repeat(E[None], n, axis=0)
+        # grid spans free space AND the band around z=2.0
+        grid = make_grid((-0.4, -0.4, 0.9), (12, 12, 20), voxel=0.07)
+
+        oracle = grid
+        for i in range(n):
+            oracle = integrate(oracle, depth[i], conf[i], Ks[i], Es[i])
+        for batch in (1, 3):
+            fused, counts = integrate_frames_sparse(
+                grid, depth, conf, Ks, Es, batch=batch, carve=True)
+            w = np.asarray(fused.weight)
+            np.testing.assert_allclose(np.asarray(fused.sdf),
+                                       np.asarray(oracle.sdf), atol=1e-5)
+            np.testing.assert_allclose(
+                w[w > 0], np.asarray(oracle.weight)[w > 0], atol=1e-5)
+            # untouched voxels: pristine free space on both sides
+            np.testing.assert_array_equal(np.asarray(fused.sdf)[w == 0], 1.0)
+            assert (counts > 0).all()
+
+    def test_carve_defaults_off_and_band_unchanged(self):
+        """carve=False (the default) keeps the exact band-only semantics —
+        the blob scene's crossing persists."""
+        from da3slam_tpu.ops.tsdf import fuse_frames
+
+        H, W, n = 24, 24, 4
+        K = np.array([[30.0, 0, 12], [0, 30.0, 12], [0, 0, 1]], np.float32)
+        far = np.full((H, W), 3.0, np.float32)
+        blob = far.copy()
+        # large blob: must survive estimate_bounds' 1% point quantile so
+        # the auto-sized grid actually contains it
+        blob[4:20, 4:20] = 1.2
+        depth = np.stack([blob] + [far] * (n - 1))
+        conf = np.ones(depth.shape, np.float32)
+        Ks = np.repeat(K[None], n, axis=0)
+        Es = np.repeat(np.eye(4, dtype=np.float32)[:3][None], n, axis=0)
+        g_band = fuse_frames(depth, conf, Ks, Es, resolution=32, sparse=True,
+                             conf_floor=0.0, batch=1)
+        g_carve = fuse_frames(depth, conf, Ks, Es, resolution=32, sparse=True,
+                              conf_floor=0.0, carve=True, batch=1)
+        sb = np.asarray(g_band.sdf)[np.asarray(g_band.weight) > 0]
+        sc = np.asarray(g_carve.sdf)[np.asarray(g_carve.weight) > 0]
+        assert sb.min() < 0.0 and sc.min() > sb.min()
+
+
 class TestGridFromBounds:
     def test_longest_axis_resolution(self):
         g = grid_from_bounds((0, 0, 0), (2.0, 1.0, 0.5), resolution=100)
